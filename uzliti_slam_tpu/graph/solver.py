@@ -1,0 +1,286 @@
+"""Robust SE(3) Gauss-Newton / Levenberg-Marquardt pose-graph solver.
+
+TPU-native replacement for the reference's g2o wrapper
+(``graph_optimization/src/g2o_optimizer.cpp``: BlockSolver<6,3> + CSparse
+Cholesky + LM, 20 iterations).  Sparse Cholesky has no TPU idiom, so the
+linear solve is a matrix-free **preconditioned conjugate gradient** on the
+block-sparse Gauss-Newton Hessian: per-edge 6x6 Jacobian blocks are built
+once per LM iteration with vmap, Hessian-vector products are
+gather→einsum→segment-sum (pure XLA, fuses onto the VPU/MXU), and the
+preconditioner is block-Jacobi (batched 6x6 Cholesky inverses).
+
+Gauge fixing follows the reference policy (``g2o_optimizer.cpp:301-349``):
+the oldest node of every connected component is held fixed — computed here
+on-device by min-label propagation with pointer jumping instead of
+HyperDijkstra on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uzliti_slam_tpu.graph import factors
+from uzliti_slam_tpu.graph.state import GraphState
+from uzliti_slam_tpu.ops import lie
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    iterations: int = 20          # LM iterations (reference slam.yaml:51)
+    pcg_iterations: int = 32      # CG steps per linear solve
+    lambda_init: float = 1e-4
+    lambda_factor: float = 3.0    # up/down scaling on reject/accept
+    lambda_min: float = 1e-9
+    lambda_max: float = 1e2
+    huber_delta: float = 1.0      # g2o_optimizer.cpp:292-294
+    pcg_tol: float = 1e-8         # relative residual early-stop (masked)
+
+
+class SolveStats(NamedTuple):
+    chi2_history: jax.Array   # (iterations + 1,)
+    accepted: jax.Array       # (iterations,) bool
+    final_lambda: jax.Array   # ()
+    num_gauge_fixed: jax.Array  # () int32
+
+
+# ---------------------------------------------------------------------------
+# Connected components + gauge fixing (on-device)
+# ---------------------------------------------------------------------------
+
+def connected_components(g: GraphState, num_iters: int | None = None) -> jax.Array:
+    """Min-label propagation over valid edges with pointer jumping.
+
+    Returns (N,) int32 component labels (the min node slot in each
+    component). Invalid nodes keep their own index.
+    """
+    n = g.node_capacity
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+    ew = g.e_valid
+    ef, et = g.e_from, g.e_to
+    # Pointer jumping halves path length each sweep; edge relaxation merges
+    # neighbours — ~log2(n) sweeps suffice.
+    iters = num_iters if num_iters is not None else max(2 * math.ceil(math.log2(max(n, 2))), 8)
+
+    def body(_, labels):
+        lf = labels[ef]
+        lt = labels[et]
+        m = jnp.minimum(lf, lt)
+        big = jnp.iinfo(jnp.int32).max
+        upd_f = jnp.where(ew, m, big)
+        upd_t = jnp.where(ew, m, big)
+        labels = labels.at[ef].min(upd_f)
+        labels = labels.at[et].min(upd_t)
+        # pointer jump (twice)
+        labels = labels[labels]
+        return labels[labels]
+
+    return jax.lax.fori_loop(0, iters, body, labels0)
+
+
+def gauge_fix_mask(g: GraphState, labels: jax.Array) -> jax.Array:
+    """Nodes to hold fixed during the solve.
+
+    Pre-fixed nodes (scope-boundary anchors, reference
+    ``scopeRequestCallback`` marking in-radius nodes fixed) are honored; any
+    component without one gets its oldest valid node fixed (reference
+    ``setFixedNodes``, ``g2o_optimizer.cpp:301-349``).
+    """
+    n = g.node_capacity
+    has_fixed = jax.ops.segment_max(
+        jnp.where(g.node_valid & g.node_fixed, 1, 0), labels, num_segments=n
+    )
+    inf = jnp.float32(jnp.inf)
+    stamp_key = jnp.where(g.node_valid, g.stamp, inf)
+    min_stamp = jax.ops.segment_min(stamp_key, labels, num_segments=n)
+    is_oldest_cand = g.node_valid & (stamp_key == min_stamp[labels])
+    # tie-break: smallest slot among candidates
+    idx_key = jnp.where(is_oldest_cand, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    min_idx = jax.ops.segment_min(idx_key, labels, num_segments=n)
+    is_oldest = is_oldest_cand & (jnp.arange(n, dtype=jnp.int32) == min_idx[labels])
+    return (g.node_valid & g.node_fixed) | (is_oldest & (has_fixed[labels] == 0))
+
+
+# ---------------------------------------------------------------------------
+# Normal equations as matrix-free operators
+# ---------------------------------------------------------------------------
+
+def _weighted_info(g: GraphState, r: jax.Array, huber_delta: float) -> jax.Array:
+    """Per-edge robustly-weighted information, zeroed for invalid edges."""
+    chi2 = factors.edge_chi2(r, g.e_info)
+    w = factors.huber_weight(chi2, huber_delta) * g.e_valid
+    return g.e_info * w[:, None, None]
+
+
+def _build_linearization(g: GraphState, huber_delta: float):
+    """Residuals, Jacobian blocks, weighted info for the whole edge table."""
+    pi = g.pose[g.e_from]
+    pj = g.pose[g.e_to]
+    r, Ji, Jj = factors.batched_residual_jacobians(pi, pj, g.e_transform)
+    W = _weighted_info(g, r, huber_delta)
+    return r, Ji, Jj, W
+
+
+def _gradient(g: GraphState, r, Ji, Jj, W, free) -> jax.Array:
+    """g_vec = Σ J^T W r scattered to nodes; (N, 6)."""
+    n = g.node_capacity
+    Wr = jnp.einsum("eij,ej->ei", W, r)
+    gi = jnp.einsum("eji,ej->ei", Ji, Wr)
+    gj = jnp.einsum("eji,ej->ei", Jj, Wr)
+    out = jax.ops.segment_sum(gi, g.e_from, num_segments=n)
+    out = out + jax.ops.segment_sum(gj, g.e_to, num_segments=n)
+    return out * free[:, None]
+
+
+def _hessian_diag_blocks(g: GraphState, Ji, Jj, W) -> jax.Array:
+    """Block-diagonal of H: (N, 6, 6) via segment-sum of JᵀWJ."""
+    n = g.node_capacity
+    WJi = jnp.einsum("eij,ejk->eik", W, Ji)
+    WJj = jnp.einsum("eij,ejk->eik", W, Jj)
+    Hii = jnp.einsum("eji,ejk->eik", Ji, WJi)
+    Hjj = jnp.einsum("eji,ejk->eik", Jj, WJj)
+    out = jax.ops.segment_sum(Hii, g.e_from, num_segments=n)
+    return out + jax.ops.segment_sum(Hjj, g.e_to, num_segments=n)
+
+
+def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array):
+    """Matrix-free (H + λ·diag) @ v, rows/cols masked to free nodes."""
+    n = g.node_capacity
+    ef, et = g.e_from, g.e_to
+
+    def hvp(v):
+        vm = v * free[:, None]
+        u = jnp.einsum("eij,ej->ei", Ji, vm[ef]) + jnp.einsum("eij,ej->ei", Jj, vm[et])
+        Wu = jnp.einsum("eij,ej->ei", W, u)
+        yi = jnp.einsum("eji,ej->ei", Ji, Wu)
+        yj = jnp.einsum("eji,ej->ei", Jj, Wu)
+        y = jax.ops.segment_sum(yi, ef, num_segments=n)
+        y = y + jax.ops.segment_sum(yj, et, num_segments=n)
+        return (y + damp * vm) * free[:, None]
+
+    return hvp
+
+
+def _block_jacobi_inverse(Hblocks: jax.Array, damp: jax.Array, free: jax.Array) -> jax.Array:
+    """Inverse of (H_block + λ diag) per node; identity for non-free nodes."""
+    eye = jnp.eye(6)
+    damped = Hblocks + jax.vmap(jnp.diag)(damp) + 1e-8 * eye
+    safe = jnp.where(free[:, None, None], damped, eye)
+    # Cholesky-based inverse of SPD 6x6 blocks (batched).
+    chol = jax.vmap(jnp.linalg.cholesky)(safe)
+    inv = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(chol)
+    inv = jnp.where(jnp.isfinite(inv), inv, eye)
+    return jnp.where(free[:, None, None], inv, eye)
+
+
+def _pcg(hvp, Minv_blocks, b, iterations: int, tol: float):
+    """Preconditioned CG for H dx = b. Fixed iteration count, masked stall."""
+
+    def apply_minv(x):
+        return jnp.einsum("nij,nj->ni", Minv_blocks, x)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_minv(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    b2 = jnp.vdot(b, b)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Hp = hvp(p)
+        pHp = jnp.vdot(p, Hp)
+        ok = (pHp > 1e-20) & (rz > tol * (b2 + 1e-30))
+        alpha = jnp.where(ok, rz / jnp.where(pHp == 0, 1.0, pHp), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = apply_minv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(ok, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = jnp.where(ok, z + beta * p, p)
+        return x, r, p, jnp.where(ok, rz_new, rz)
+
+    x, r, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# The LM loop
+# ---------------------------------------------------------------------------
+
+def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float) -> jax.Array:
+    r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
+    chi2 = factors.edge_chi2(r, g.e_info)
+    # Robust (Huber) total cost, as g2o's activeRobustChi2.
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    rho = jnp.where(
+        e <= huber_delta, chi2, 2.0 * huber_delta * e - huber_delta**2
+    )
+    return jnp.sum(rho * g.e_valid)
+
+
+def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[GraphState, SolveStats]:
+    """Run LM on the pose graph; returns updated graph + stats.
+
+    Write-back semantics follow the reference ``storeImpl``
+    (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
+    recomputed, edge ages incremented.
+    """
+    labels = connected_components(g)
+    gauge = gauge_fix_mask(g, labels)
+    free = (g.node_valid & ~gauge).astype(g.pose.dtype)
+
+    chi2_0 = total_chi2(g, g.pose, config.huber_delta)
+
+    def lm_step(carry, _):
+        poses, lam, chi2_cur = carry
+        gg = g._replace(pose=poses)
+        r, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
+        grad = _gradient(gg, r, Ji, Jj, W, free)
+        Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W)
+        # Marquardt scaling: damp with λ·diag(H) (floored for stability).
+        hdiag = jax.vmap(jnp.diag)(Hblocks)
+        damp = lam * jnp.maximum(hdiag, 1e-6)
+        hvp = _make_hvp(gg, Ji, Jj, W, damp, free)
+        Minv = _block_jacobi_inverse(Hblocks, damp, free)
+        dx = _pcg(hvp, Minv, -grad, config.pcg_iterations, config.pcg_tol)
+        dx = dx * free[:, None]
+
+        cand = lie.pose_retract(poses, dx)
+        chi2_new = total_chi2(g, cand, config.huber_delta)
+        accept = chi2_new < chi2_cur
+        poses = jnp.where(accept, cand, poses)
+        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+        lam = jnp.clip(
+            jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
+            config.lambda_min,
+            config.lambda_max,
+        )
+        return (poses, lam, chi2_cur), (chi2_cur, accept)
+
+    (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
+        lm_step,
+        (g.pose, jnp.asarray(config.lambda_init), chi2_0),
+        None,
+        length=config.iterations,
+    )
+
+    # Write back errors and ages (g2o_optimizer.cpp:106-135).
+    r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
+    e_err = factors.edge_chi2(r, g.e_info) * g.e_valid
+    g = g._replace(
+        pose=poses,
+        e_error=e_err,
+        e_age=g.e_age + g.e_valid.astype(g.e_age.dtype),
+    )
+    stats = SolveStats(
+        chi2_history=jnp.concatenate([chi2_0[None], chi2_hist]),
+        accepted=accepted,
+        final_lambda=lam,
+        num_gauge_fixed=jnp.sum(gauge).astype(jnp.int32),
+    )
+    return g, stats

@@ -125,18 +125,26 @@ def _build_linearization(g: GraphState, huber_delta: float):
     return r, Ji, Jj, W
 
 
-def _gradient(g: GraphState, r, Ji, Jj, W, free) -> jax.Array:
-    """g_vec = Σ J^T W r scattered to nodes; (N, 6)."""
+def _identity_reduce(x):
+    return x
+
+
+def _gradient(g: GraphState, r, Ji, Jj, W, free, reduce=_identity_reduce) -> jax.Array:
+    """g_vec = Σ J^T W r scattered to nodes; (N, 6).
+
+    ``reduce`` sums partial node-indexed accumulations across an edge-sharded
+    device axis (psum over ICI in the sharded solver); identity on one chip.
+    """
     n = g.node_capacity
     Wr = jnp.einsum("eij,ej->ei", W, r)
     gi = jnp.einsum("eji,ej->ei", Ji, Wr)
     gj = jnp.einsum("eji,ej->ei", Jj, Wr)
     out = jax.ops.segment_sum(gi, g.e_from, num_segments=n)
     out = out + jax.ops.segment_sum(gj, g.e_to, num_segments=n)
-    return out * free[:, None]
+    return reduce(out) * free[:, None]
 
 
-def _hessian_diag_blocks(g: GraphState, Ji, Jj, W) -> jax.Array:
+def _hessian_diag_blocks(g: GraphState, Ji, Jj, W, reduce=_identity_reduce) -> jax.Array:
     """Block-diagonal of H: (N, 6, 6) via segment-sum of JᵀWJ."""
     n = g.node_capacity
     WJi = jnp.einsum("eij,ejk->eik", W, Ji)
@@ -144,10 +152,11 @@ def _hessian_diag_blocks(g: GraphState, Ji, Jj, W) -> jax.Array:
     Hii = jnp.einsum("eji,ejk->eik", Ji, WJi)
     Hjj = jnp.einsum("eji,ejk->eik", Jj, WJj)
     out = jax.ops.segment_sum(Hii, g.e_from, num_segments=n)
-    return out + jax.ops.segment_sum(Hjj, g.e_to, num_segments=n)
+    return reduce(out + jax.ops.segment_sum(Hjj, g.e_to, num_segments=n))
 
 
-def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array):
+def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array,
+              reduce=_identity_reduce):
     """Matrix-free (H + λ·diag) @ v, rows/cols masked to free nodes."""
     n = g.node_capacity
     ef, et = g.e_from, g.e_to
@@ -159,7 +168,7 @@ def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array):
         yi = jnp.einsum("eji,ej->ei", Ji, Wu)
         yj = jnp.einsum("eji,ej->ei", Jj, Wu)
         y = jax.ops.segment_sum(yi, ef, num_segments=n)
-        y = y + jax.ops.segment_sum(yj, et, num_segments=n)
+        y = reduce(y + jax.ops.segment_sum(yj, et, num_segments=n))
         return (y + damp * vm) * free[:, None]
 
     return hvp
@@ -212,7 +221,8 @@ def _pcg(hvp, Minv_blocks, b, iterations: int, tol: float):
 # The LM loop
 # ---------------------------------------------------------------------------
 
-def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float) -> jax.Array:
+def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float,
+               reduce=_identity_reduce) -> jax.Array:
     r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
     chi2 = factors.edge_chi2(r, g.e_info)
     # Robust (Huber) total cost, as g2o's activeRobustChi2.
@@ -220,38 +230,35 @@ def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float) -> jax.Array
     rho = jnp.where(
         e <= huber_delta, chi2, 2.0 * huber_delta * e - huber_delta**2
     )
-    return jnp.sum(rho * g.e_valid)
+    return reduce(jnp.sum(rho * g.e_valid))
 
 
-def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[GraphState, SolveStats]:
-    """Run LM on the pose graph; returns updated graph + stats.
+def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
+            reduce=_identity_reduce):
+    """The LM iteration core, shared by single-chip and edge-sharded solves.
 
-    Write-back semantics follow the reference ``storeImpl``
-    (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
-    recomputed, edge ages incremented.
+    ``g``'s edge table may be a device-local shard (with poses replicated);
+    ``reduce`` must then psum partial reductions across the edge axis.
+    Returns (poses, final_lambda, chi2_history, accepted).
     """
-    labels = connected_components(g)
-    gauge = gauge_fix_mask(g, labels)
-    free = (g.node_valid & ~gauge).astype(g.pose.dtype)
-
-    chi2_0 = total_chi2(g, g.pose, config.huber_delta)
+    chi2_0 = total_chi2(g, g.pose, config.huber_delta, reduce)
 
     def lm_step(carry, _):
         poses, lam, chi2_cur = carry
         gg = g._replace(pose=poses)
         r, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
-        grad = _gradient(gg, r, Ji, Jj, W, free)
-        Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W)
+        grad = _gradient(gg, r, Ji, Jj, W, free, reduce)
+        Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W, reduce)
         # Marquardt scaling: damp with λ·diag(H) (floored for stability).
         hdiag = jax.vmap(jnp.diag)(Hblocks)
         damp = lam * jnp.maximum(hdiag, 1e-6)
-        hvp = _make_hvp(gg, Ji, Jj, W, damp, free)
+        hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
         Minv = _block_jacobi_inverse(Hblocks, damp, free)
         dx = _pcg(hvp, Minv, -grad, config.pcg_iterations, config.pcg_tol)
         dx = dx * free[:, None]
 
         cand = lie.pose_retract(poses, dx)
-        chi2_new = total_chi2(g, cand, config.huber_delta)
+        chi2_new = total_chi2(g, cand, config.huber_delta, reduce)
         accept = chi2_new < chi2_cur
         poses = jnp.where(accept, cand, poses)
         chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
@@ -268,6 +275,21 @@ def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[Grap
         None,
         length=config.iterations,
     )
+    return poses, lam, jnp.concatenate([chi2_0[None], chi2_hist]), accepted
+
+
+def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[GraphState, SolveStats]:
+    """Run LM on the pose graph; returns updated graph + stats.
+
+    Write-back semantics follow the reference ``storeImpl``
+    (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
+    recomputed, edge ages incremented.
+    """
+    labels = connected_components(g)
+    gauge = gauge_fix_mask(g, labels)
+    free = (g.node_valid & ~gauge).astype(g.pose.dtype)
+
+    poses, lam, chi2_hist, accepted = lm_loop(g, free, config)
 
     # Write back errors and ages (g2o_optimizer.cpp:106-135).
     r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
@@ -278,7 +300,7 @@ def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[Grap
         e_age=g.e_age + g.e_valid.astype(g.e_age.dtype),
     )
     stats = SolveStats(
-        chi2_history=jnp.concatenate([chi2_0[None], chi2_hist]),
+        chi2_history=chi2_hist,
         accepted=accepted,
         final_lambda=lam,
         num_gauge_fixed=jnp.sum(gauge).astype(jnp.int32),

@@ -1,0 +1,111 @@
+"""Binary-descriptor matching as MXU matmuls.
+
+Replaces the reference's brute-force ``cv::BFMatcher`` Hamming 2-NN loop
+(``transformation_estimation/src/feature_transformation_estimator.cpp:58-71``)
+with one batched popcount-as-matmul: for bit-unpacked descriptors
+a, b ∈ {0,1}, Hamming(a, b) = |a| + |b| - 2·a·bᵀ — a single (F×D)·(D×F)
+contraction that XLA tiles straight onto the MXU.  A Pallas int8 kernel for
+the packed-uint8 path lives in ``ops/pallas/hamming.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ORB/BRIEF descriptors: 32 bytes = 256 bits (reference AORB output).
+DESCRIPTOR_BYTES = 32
+DESCRIPTOR_BITS = DESCRIPTOR_BYTES * 8
+
+
+def unpack_bits(packed: jax.Array) -> jax.Array:
+    """(..., B) uint8 -> (..., 8*B) float32 bits in {0, 1} (LSB first)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., :, None] >> shifts) & 1
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8).astype(jnp.float32)
+
+
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """(..., 8*B) {0,1} -> (..., B) uint8 (LSB first)."""
+    b = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 8, 8).astype(jnp.uint8)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    return jnp.sum(b << shifts, axis=-1).astype(jnp.uint8)
+
+
+def hamming_matrix(bits_a: jax.Array, bits_b: jax.Array) -> jax.Array:
+    """Pairwise Hamming distances from bit-unpacked descriptors.
+
+    bits_a: (Na, D), bits_b: (Nb, D) in {0,1}. Returns (Na, Nb) float32.
+    The contraction runs in bf16 on the MXU — exact, since Hamming sums of
+    256-bit descriptors are integers ≤ 256, well inside bf16+f32-accum range.
+    """
+    na = jnp.sum(bits_a, axis=-1, keepdims=True)
+    nb = jnp.sum(bits_b, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        bits_a.astype(jnp.bfloat16),
+        bits_b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return na + nb.T - 2.0 * cross
+
+
+def hamming_matrix_packed(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise Hamming distances from packed uint8 descriptors."""
+    return hamming_matrix(unpack_bits(a), unpack_bits(b))
+
+
+def knn_match(
+    dist: jax.Array,
+    valid_a: jax.Array | None = None,
+    valid_b: jax.Array | None = None,
+    k: int = 2,
+):
+    """k smallest distances per row. Returns (dists (Na,k), idx (Na,k)).
+
+    Invalid rows/cols are pushed to +inf so padded descriptor slots never
+    match.
+    """
+    big = jnp.float32(1e9)
+    if valid_b is not None:
+        dist = jnp.where(valid_b[None, :], dist, big)
+    if valid_a is not None:
+        dist = jnp.where(valid_a[:, None], dist, big)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx
+
+
+def ratio_test(
+    d: jax.Array, idx: jax.Array, ratio: float = 0.99, max_dist: float | None = None
+):
+    """Lowe ratio test on 2-NN results (reference ratio 0.99,
+    ``feature_transformation_estimator.cpp:65-71``).
+
+    Returns (match_idx (Na,), ok (Na,) bool): best-neighbor index per query
+    and acceptance mask.
+    """
+    best, second = d[:, 0], d[:, 1]
+    ok = best <= ratio * second
+    if max_dist is not None:
+        ok &= best <= max_dist
+    return idx[:, 0], ok
+
+
+def match_descriptors(
+    bits_a: jax.Array,
+    bits_b: jax.Array,
+    valid_a: jax.Array | None = None,
+    valid_b: jax.Array | None = None,
+    ratio: float = 0.99,
+    max_dist: float | None = None,
+):
+    """Full matching pipeline: Hamming matmul → 2-NN → ratio test.
+
+    Returns (match_idx, ok, best_dist) each shaped (Na,).
+    """
+    dm = hamming_matrix(bits_a, bits_b)
+    d, idx = knn_match(dm, valid_a, valid_b, k=2)
+    mi, ok = ratio_test(d, idx, ratio, max_dist)
+    if valid_a is not None:
+        ok &= valid_a
+    return mi, ok, d[:, 0]

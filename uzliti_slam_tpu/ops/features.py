@@ -1,0 +1,298 @@
+"""Batched ORB-style feature detection and description, array-native.
+
+TPU-first re-design of the reference front-end
+(``feature_extraction/src/feature_extraction_core.cpp``: AORB = tunable-
+threshold FAST + oriented BRIEF over a pyramid, grid-adapted, response-
+sorted). Everything here is static-shaped: a fixed budget of K keypoints
+with validity masks, so detection/description fuse into one XLA program and
+vmap over camera batches.
+
+No OpenCV tables are used: the BRIEF sampling pattern is generated from a
+fixed PRNG seed (steered-BRIEF construction), which preserves the
+*capability* (256-bit rotation-compensated binary descriptors matched by
+Hamming distance) without copying any reference pattern data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# FAST circle of radius 3 (Bresenham), 16 offsets in clockwise order.
+_FAST_OFFSETS = jnp.array(
+    [
+        (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    ],
+    dtype=jnp.int32,
+)  # (dy, dx) pairs
+
+
+class Keypoints(NamedTuple):
+    uv: jax.Array        # (K, 2) float32 pixel coords (u=x, v=y)
+    response: jax.Array  # (K,)
+    angle: jax.Array     # (K,) orientation in radians
+    scale: jax.Array     # (K,) pyramid scale factor applied to uv
+    valid: jax.Array     # (K,) bool
+
+
+def _shift2d(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shift with zero padding (static shifts -> pure XLA slices)."""
+    h, w = img.shape
+    out = jnp.zeros_like(img)
+    ys = slice(max(dy, 0), h + min(dy, 0))
+    yd = slice(max(-dy, 0), h + min(-dy, 0))
+    xs = slice(max(dx, 0), w + min(dx, 0))
+    xd = slice(max(-dx, 0), w + min(-dx, 0))
+    return out.at[yd, xd].set(img[ys, xs])
+
+
+def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
+    """FAST-9/16 corner response map.
+
+    Segment test: ≥9 contiguous circle pixels all brighter (or all darker)
+    than center ± threshold. Score = sum of absolute differences over the
+    brighter/darker circle pixels (AORB's tunable-threshold FAST,
+    ``external/aorb/aorb.cpp``). Runs as 16 static shifts + cumsum window
+    reduction — no gathers, fully fused on the VPU.
+    """
+    offs = [(int(dy), int(dx)) for dy, dx in _FAST_OFFSETS.tolist()]
+    ring = jnp.stack([_shift2d(img, -dy, -dx) for (dy, dx) in offs])  # (16,H,W)
+    diff = ring - img[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def contiguous9(mask):
+        # wraparound window-of-9 all-true test via cumsum over a tiled axis
+        m2 = jnp.concatenate([mask, mask[:8]], axis=0).astype(jnp.int32)
+        c = jnp.cumsum(m2, axis=0)
+        c = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
+        win = c[9:] - c[:-9]  # (16, H, W) window sums
+        return jnp.max(win, axis=0) >= 9
+
+    is_corner = contiguous9(brighter) | contiguous9(darker)
+    score_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+
+    # suppress borders (circle + descriptor patch radius)
+    h, w = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    b = 16
+    interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    return jnp.where(is_corner & interior, score, 0.0)
+
+
+def nms(score: jax.Array, radius: int = 1) -> jax.Array:
+    """3x3 (or (2r+1)²) non-maximum suppression via max pooling."""
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    return jnp.where((score == pooled) & (score > 0), score, 0.0)
+
+
+def select_topk_grid(
+    score: jax.Array, k_total: int, grid: int = 4
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid-adapted top-K selection (reference GridAdaptedFeatureDetector +
+    response sort, ``feature_extraction_core.cpp:93-102``): the per-cell
+    budget spreads keypoints across the image.
+
+    Returns (uv (K,2) float, response (K,), valid (K,)).
+    """
+    h, w = score.shape
+    gh, gw = h // grid, w // grid
+    k_cell = max(k_total // (grid * grid), 1)
+    # crop to multiple of grid, reshape into cells
+    sc = score[: gh * grid, : gw * grid].reshape(grid, gh, grid, gw)
+    sc = sc.transpose(0, 2, 1, 3).reshape(grid * grid, gh * gw)
+    vals, idx = jax.lax.top_k(sc, k_cell)  # per cell
+    cy = idx // gw
+    cx = idx % gw
+    gy = (jnp.arange(grid * grid) // grid)[:, None]
+    gx = (jnp.arange(grid * grid) % grid)[:, None]
+    ys = gy * gh + cy
+    xs = gx * gw + cx
+    uv = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(jnp.float32)
+    resp = vals.reshape(-1)
+    valid = resp > 0
+
+    # keep global top k_total by response (static shape)
+    n = uv.shape[0]
+    if n > k_total:
+        top_vals, top_idx = jax.lax.top_k(jnp.where(valid, resp, -1.0), k_total)
+        uv = uv[top_idx]
+        resp = top_vals
+        valid = top_vals > 0
+    elif n < k_total:
+        pad = k_total - n
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2))])
+        resp = jnp.concatenate([resp, jnp.zeros(pad)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=bool)])
+    return uv, resp, valid
+
+
+def _sep_blur(img: jax.Array, radius: int = 2) -> jax.Array:
+    """Separable box blur (descriptor pre-smoothing, as ORB's GaussianBlur)."""
+    k = 2 * radius + 1
+    ker = jnp.ones((k,), dtype=img.dtype) / k
+    out = jax.lax.conv_general_dilated(
+        img[None, None], ker[None, None, None, :], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    out = jax.lax.conv_general_dilated(
+        out[None, None], ker[None, None, :, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return out
+
+
+def intensity_centroid_angles(img: jax.Array, uv: jax.Array, radius: int = 7) -> jax.Array:
+    """Orientation per keypoint by the intensity-centroid method (ORB's
+    IC_Angle): angle = atan2(m01, m10) over a circular patch.
+
+    Patches are gathered with dynamic_slice (vmapped); patch size is
+    static (2r+1)².
+    """
+    k = 2 * radius + 1
+    dy = jax.lax.broadcasted_iota(jnp.float32, (k, k), 0) - radius
+    dx = jax.lax.broadcasted_iota(jnp.float32, (k, k), 1) - radius
+    circ = (dx * dx + dy * dy) <= radius * radius
+
+    def one(pt):
+        y0 = jnp.clip(pt[1].astype(jnp.int32) - radius, 0, img.shape[0] - k)
+        x0 = jnp.clip(pt[0].astype(jnp.int32) - radius, 0, img.shape[1] - k)
+        patch = jax.lax.dynamic_slice(img, (y0, x0), (k, k)) * circ
+        m01 = jnp.sum(dy * patch)
+        m10 = jnp.sum(dx * patch)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(uv)
+
+
+def brief_pattern(n_bits: int = 256, patch_radius: int = 13, seed: int = 1234) -> jax.Array:
+    """Fixed steered-BRIEF sampling pattern: (n_bits, 2, 2) int offsets
+    drawn from a clipped Gaussian (BRIEF-G II construction). Deterministic
+    across runs; NOT copied from any library table."""
+    key = jax.random.PRNGKey(seed)
+    pts = jnp.clip(
+        jnp.round(jax.random.normal(key, (n_bits, 2, 2)) * patch_radius / 2.5),
+        -patch_radius, patch_radius,
+    )
+    return pts.astype(jnp.float32)
+
+
+_DEFAULT_PATTERN = brief_pattern()
+
+
+def brief_descriptors(
+    img: jax.Array,
+    uv: jax.Array,
+    angles: jax.Array,
+    pattern: jax.Array | None = None,
+) -> jax.Array:
+    """Rotation-steered BRIEF: 256 pairwise intensity tests per keypoint,
+    pattern rotated by the keypoint angle, bilinear sampling on the smoothed
+    image. Returns (K, 32) uint8 packed descriptors."""
+    if pattern is None:
+        pattern = _DEFAULT_PATTERN
+    sm = _sep_blur(img, 2)
+    h, w = img.shape
+
+    ca = jnp.cos(angles)
+    sa = jnp.sin(angles)
+    # rotate pattern offsets per keypoint: (K, n_bits, 2, 2)
+    px = pattern[None, :, :, 0]
+    py = pattern[None, :, :, 1]
+    rx = ca[:, None, None] * px - sa[:, None, None] * py
+    ry = sa[:, None, None] * px + ca[:, None, None] * py
+    sx = uv[:, None, None, 0] + rx
+    sy = uv[:, None, None, 1] + ry
+
+    def bilinear(ys, xs):
+        x0 = jnp.clip(jnp.floor(xs), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(ys), 0, h - 2)
+        xf = xs - x0
+        yf = ys - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        v00 = sm[y0i, x0i]
+        v01 = sm[y0i, x0i + 1]
+        v10 = sm[y0i + 1, x0i]
+        v11 = sm[y0i + 1, x0i + 1]
+        return (
+            v00 * (1 - xf) * (1 - yf) + v01 * xf * (1 - yf)
+            + v10 * (1 - xf) * yf + v11 * xf * yf
+        )
+
+    va = bilinear(sy[..., 0], sx[..., 0])
+    vb = bilinear(sy[..., 1], sx[..., 1])
+    bits = (va < vb).astype(jnp.uint8)  # (K, 256)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    packed = bits.reshape(bits.shape[0], -1, 8) << shifts
+    return jnp.sum(packed, axis=-1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "grid", "n_levels"))
+def detect_and_describe(
+    img: jax.Array,
+    max_keypoints: int = 300,
+    threshold: float = 20.0,
+    grid: int = 4,
+    n_levels: int = 4,
+    scale_factor: float = 1.2,
+):
+    """Full ORB-equivalent pipeline over an image pyramid.
+
+    Returns (Keypoints, descriptors (K, 32) uint8) with K = max_keypoints
+    total across levels (reference default 300 features,
+    ``FeatureExtraction.cfg:11``). Keypoint uv are in level-0 pixels.
+    """
+    img = img.astype(jnp.float32)
+    k_level = max(max_keypoints // n_levels, 1)
+    all_kp = []
+    all_desc = []
+    cur = img
+    scale = 1.0
+    for lvl in range(n_levels):
+        score = nms(fast_score(cur, threshold))
+        uv, resp, valid = select_topk_grid(score, k_level, grid)
+        ang = intensity_centroid_angles(cur, uv)
+        desc = brief_descriptors(cur, uv, ang)
+        all_kp.append(
+            Keypoints(
+                uv=uv * scale,
+                response=resp,
+                angle=ang,
+                scale=jnp.full((k_level,), scale),
+                valid=valid,
+            )
+        )
+        all_desc.append(desc)
+        if lvl + 1 < n_levels:
+            scale *= scale_factor
+            nh = max(int(round(img.shape[0] / scale)), 32)
+            nw = max(int(round(img.shape[1] / scale)), 32)
+            cur = jax.image.resize(img, (nh, nw), "linear")
+
+    kps = Keypoints(*[jnp.concatenate([getattr(k, f) for k in all_kp]) for f in Keypoints._fields])
+    desc = jnp.concatenate(all_desc)
+    return kps, desc
+
+
+def binary_gist(img: jax.Array, roll_angle: jax.Array | float = 0.0) -> jax.Array:
+    """Whole-image binary GIST descriptor: resize the frame to 63×63 and
+    take ONE oriented BRIEF descriptor at the center, orientation
+    compensated by the robot's roll (reference
+    ``feature_extraction_core.cpp:119-162``). Returns (32,) uint8."""
+    small = jax.image.resize(img.astype(jnp.float32), (63, 63), "linear")
+    center = jnp.array([[31.0, 31.0]])
+    ang = jnp.asarray(roll_angle, dtype=jnp.float32)[None]
+    d = brief_descriptors(small, center, ang, brief_pattern(patch_radius=25, seed=4321))
+    return d[0]

@@ -1,0 +1,95 @@
+"""Configuration tree for the engine.
+
+Mirrors the reference's three-tier config system (launch yaml +
+dynamic_reconfigure groups, SURVEY.md §5): one frozen dataclass per
+subsystem, matching the reference's parameter groups —
+GraphSlam (``graph_slam/cfg/GraphSlam.cfg``), GraphOptimizer,
+FeatureLinkEstimation, PlaceRecognizer, OccupancyGridProjector,
+FeatureExtraction. All values are live-swappable between jitted steps
+(they are static args; changing them recompiles, the analog of a
+dynamic_reconfigure callback restarting timers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from uzliti_slam_tpu.graph.filter import FilterConfig
+from uzliti_slam_tpu.graph.solver import SolverConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureExtractionConfig:
+    """Reference FeatureExtraction.cfg:9-16."""
+    max_keypoints: int = 300
+    fast_threshold: float = 20.0
+    pyramid_levels: int = 4
+    scale_factor: float = 1.2
+    grid: int = 4
+    use_depth_refinement: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaceRecognitionConfig:
+    """Reference PlaceRecognizer.cfg:9-11 + yaml method selection."""
+    method: str = "gist"          # "gist" | "feature_set" | "repository"
+    k_candidates: int = 5          # local_slam.yaml:31
+    gist_max_dist: float = 60.0
+    feature_hamming_thresh: float = 40.0
+    min_similarity: float = 0.2
+    min_time_separation: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeEstimationConfig:
+    """Reference FeatureLinkEstimation.cfg:9-13 + laser params."""
+    ransac_hypotheses: int = 128   # ref: <=100 iterations
+    ransac_inlier_thresh: float = 0.05
+    min_consensus: int = 12
+    match_ratio: float = 0.9       # ref 0.99; tightened default
+    max_match_distance: float = 64.0
+    icp_iterations: int = 20
+    icp_max_corr: float = 0.5
+    icp_min_valid_fraction: float = 0.25
+    # acceptance gates, reference newEdgeCallback graph_slam_node.cpp:798-803
+    min_matching_score: float = 10.0
+    max_edge_translation: float = 2.0
+    max_edge_rotation_deg: float = 60.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ScopeConfig:
+    """Reference GraphSlam.cfg:33-34 + merge params."""
+    is_sub_graph: bool = False
+    scope_size_min: float = 8.0
+    scope_size_factor: float = 0.1
+    eviction_margin: float = 4.0
+    merge_nodes: bool = False
+    merge_dist: float = 0.25
+    merge_angle_deg: float = 15.0
+    merge_margin: float = 6.0
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Reference GraphSlam.cfg:9-10."""
+    new_node_distance: float = 0.3
+    new_node_angle_deg: float = 10.0
+    distance_closure_radius: float = 2.0   # distance loop closures, :273-289
+    distance_closure_max_angle_deg: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    node_capacity: int = 512
+    edge_capacity: int = 2048
+    feats_per_node: int = 128
+    scan_bins: int = 360
+    frontend: FeatureExtractionConfig = FeatureExtractionConfig()
+    recognition: PlaceRecognitionConfig = PlaceRecognitionConfig()
+    estimation: EdgeEstimationConfig = EdgeEstimationConfig()
+    solver: SolverConfig = SolverConfig()
+    filter: FilterConfig = FilterConfig()
+    scope: ScopeConfig = ScopeConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    use_laser_edges: bool = True

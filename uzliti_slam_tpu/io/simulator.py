@@ -1,0 +1,149 @@
+"""Synthetic RGB-D world simulator for end-to-end pipeline tests and demos.
+
+Substitutes for the reference's rosbag dataset playback
+(``iti_slam_launch/launch/dataset.launch``): a robot drives past an
+infinite textured wall; each frame renders the wall texture and metric
+depth through a pinhole camera, with odometry drift injected — so the full
+front-end → registration → optimization loop can be validated against
+ground truth without external data (zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from uzliti_slam_tpu.frontend import camera as cam_mod
+from uzliti_slam_tpu.ops import lie
+
+
+# Camera optical frame -> robot base frame: z_cam = +x_base (forward),
+# x_cam = -y_base (right), y_cam = -z_base (down).
+CAM_IN_BASE_R = np.array([
+    [0.0, 0.0, 1.0],
+    [-1.0, 0.0, 0.0],
+    [0.0, -1.0, 0.0],
+])
+
+
+def cam_extrinsic(height: float = 0.5) -> jnp.ndarray:
+    return lie.make_pose(
+        jnp.array([0.0, 0.0, height]),
+        lie.matrix_to_quat(jnp.asarray(CAM_IN_BASE_R, dtype=jnp.float32)),
+    )
+
+
+class WallWorld:
+    """A textured wall at world x = ``wall_x``; the robot moves in the
+    x-y plane facing +x. Texture = random bright blobs (FAST-friendly)."""
+
+    def __init__(self, wall_x: float = 3.0, tex_size: int = 4096,
+                 px_per_m: float = 120.0, seed: int = 0,
+                 img_h: int = 120, img_w: int = 160, f: float = 130.0):
+        rng = np.random.default_rng(seed)
+        tex = np.full((tex_size, tex_size), 40.0, dtype=np.float32)
+        n_blobs = (tex_size // 24) ** 2
+        ys = rng.integers(0, tex_size - 30, n_blobs)
+        xs = rng.integers(0, tex_size - 30, n_blobs)
+        for y, x in zip(ys, xs):
+            h = rng.integers(6, 24)
+            w = rng.integers(6, 24)
+            tex[y:y + h, x:x + w] = rng.uniform(120, 250)
+        self.tex = tex
+        self.tex_size = tex_size
+        self.px_per_m = px_per_m
+        self.wall_x = wall_x
+        self.cam = cam_mod.PinholeCamera(
+            fx=jnp.float32(f), fy=jnp.float32(f),
+            cx=jnp.float32(img_w / 2), cy=jnp.float32(img_h / 2),
+            width=img_w, height=img_h,
+        )
+        self.img_h = img_h
+        self.img_w = img_w
+        self.cam_height = 0.5
+
+    def render(self, tx: float, ty: float) -> tuple[np.ndarray, np.ndarray]:
+        """Render (image, depth) for a robot at (tx, ty), heading +x."""
+        h, w = self.img_h, self.img_w
+        f = float(self.cam.fx)
+        cx = float(self.cam.cx)
+        cy = float(self.cam.cy)
+        z = self.wall_x - tx                       # wall distance (optical z)
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        # world coordinates of the wall point each pixel sees:
+        # cam x (right) = -y_base  -> wall y = ty - (u-cx)/f*z
+        # cam y (down)  = -z_base  -> wall height = cam_h - (v-cy)/f*z
+        wy = ty - (uu - cx) / f * z
+        wz = self.cam_height - (vv - cy) / f * z
+        tu = np.mod(wy * self.px_per_m, self.tex_size - 1)
+        tv = np.mod(-wz * self.px_per_m, self.tex_size - 1)
+        # bilinear sample
+        t0u = np.floor(tu).astype(int)
+        t0v = np.floor(tv).astype(int)
+        fu = tu - t0u
+        fv = tv - t0v
+        t1u = np.minimum(t0u + 1, self.tex_size - 1)
+        t1v = np.minimum(t0v + 1, self.tex_size - 1)
+        img = (
+            self.tex[t0v, t0u] * (1 - fu) * (1 - fv)
+            + self.tex[t0v, t1u] * fu * (1 - fv)
+            + self.tex[t1v, t0u] * (1 - fu) * fv
+            + self.tex[t1v, t1u] * fu * fv
+        )
+        depth = np.full((h, w), z, dtype=np.float32)
+        return img.astype(np.float32), depth
+
+
+def out_and_back_trajectory(n: int, length: float = 6.0):
+    """Ground-truth (tx, ty) waypoints: drive +y for n/2 frames, return."""
+    half = n // 2
+    fwd = np.linspace(0.0, length, half)
+    back = np.linspace(length, 0.0, n - half)
+    ty = np.concatenate([fwd, back])
+    tx = np.zeros(n)
+    return tx, ty
+
+
+def simulate_sequence(
+    world: WallWorld,
+    n_frames: int = 30,
+    odom_drift: float = 0.01,
+    seed: int = 0,
+    length: float = 6.0,
+):
+    """Yield (image, depth, noisy_odom_pose, gt_pose, stamp) frames.
+
+    Odometry accumulates a per-step bias (systematic drift), the classic
+    error model SLAM must correct via loop closures.
+    """
+    rng = np.random.default_rng(seed)
+    tx, ty = out_and_back_trajectory(n_frames, length)
+    bias = rng.normal(0, odom_drift, 2)
+    odom = np.zeros(2)
+    prev = np.array([tx[0], ty[0]])
+    frames = []
+    for i in range(n_frames):
+        gt_xy = np.array([tx[i], ty[i]])
+        step = gt_xy - prev
+        noise = rng.normal(0, odom_drift / 2, 2)
+        odom = odom + step + (bias + noise) * np.linalg.norm(step)
+        prev = gt_xy
+        img, dep = world.render(tx[i], ty[i])
+        gt_pose = lie.make_pose(
+            jnp.array([gt_xy[0], gt_xy[1], 0.0], dtype=jnp.float32),
+            jnp.array([1.0, 0, 0, 0], dtype=jnp.float32),
+        )
+        odom_pose = lie.make_pose(
+            jnp.array([odom[0], odom[1], 0.0], dtype=jnp.float32),
+            jnp.array([1.0, 0, 0, 0], dtype=jnp.float32),
+        )
+        frames.append(
+            dict(
+                image=jnp.asarray(img),
+                depth=jnp.asarray(dep),
+                odom_pose=odom_pose,
+                gt_pose=gt_pose,
+                stamp=float(i),
+            )
+        )
+    return frames

@@ -239,7 +239,7 @@ def brief_descriptors(
     return jnp.sum(packed, axis=-1).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "grid", "n_levels"))
+@partial(jax.jit, static_argnames=("max_keypoints", "grid", "n_levels", "scale_factor"))
 def detect_and_describe(
     img: jax.Array,
     max_keypoints: int = 300,

@@ -1,0 +1,383 @@
+"""The SLAM orchestrator: keyframe processing + optimization epochs.
+
+Functional re-design of the reference's ``GraphSlamNode``
+(``graph_slam/src/graph_slam_node.cpp:42-159``): the 20-thread callback
+spinner, worker queues and mutexes collapse into two pure jitted steps
+advancing one ``SlamState`` pytree:
+
+- ``process_keyframe``: the ``odomTimerCallback → sensorDataCallback`` path
+  (``:161-396``) — front-end, place recognition, batched candidate
+  registration, node/edge insertion.
+- ``optimize_epoch``: the ``optimizationTimerCallback →
+  finishedGraphOptimization`` path (``:1138-1279``) — loop-closure
+  filtering, LM solve, uncertainty + map→odom diff update.
+
+The reference's process-level local/global split maps onto scope eviction
+(``lifecycle.py``) plus the sharded solver (``parallel/sharded.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uzliti_slam_tpu.config import SlamConfig
+from uzliti_slam_tpu.frontend import camera as cam_mod
+from uzliti_slam_tpu.graph import filter as gfilter
+from uzliti_slam_tpu.graph import lifecycle, shortest_path, solver
+from uzliti_slam_tpu.graph import state as gstate
+from uzliti_slam_tpu.ops import depth as depth_ops
+from uzliti_slam_tpu.ops import features, icp, lie, matching, ransac
+from uzliti_slam_tpu.ops import scan as scan_ops
+from uzliti_slam_tpu.recognition import recognizer as rec
+
+
+class Keyframe(NamedTuple):
+    image: jax.Array      # (H, W) grayscale f32
+    depth: jax.Array      # (H, W) metric depth f32 (0 = invalid)
+    odom_pose: jax.Array  # (7,) odometry-frame pose of the robot base
+    stamp: jax.Array      # () seconds
+
+
+class SlamState(NamedTuple):
+    graph: gstate.GraphState
+    gist: rec.GistBank
+    desc: jax.Array        # (N, F, 32) uint8 per-node descriptors
+    desc_valid: jax.Array  # (N, F)
+    points: jax.Array      # (N, F, 3) base-frame 3-D keypoints
+    scans: jax.Array       # (N, B) virtual-scan near ranges
+    scan_valid: jax.Array  # (N,) node has a scan
+    last_kf_odom: jax.Array  # (7,) odometry pose at last keyframe
+    prng: jax.Array
+    n_keyframes: jax.Array  # () int32
+
+
+def init_state(config: SlamConfig, seed: int = 0) -> SlamState:
+    n = config.node_capacity
+    f = _feat_count(config)
+    b = config.scan_bins
+    return SlamState(
+        graph=gstate.empty_graph(n, config.edge_capacity),
+        gist=rec.gist_bank_init(n),
+        desc=jnp.zeros((n, f, 32), dtype=jnp.uint8),
+        desc_valid=jnp.zeros((n, f), dtype=bool),
+        points=jnp.zeros((n, f, 3)),
+        scans=jnp.full((n, b), jnp.inf),
+        scan_valid=jnp.zeros((n,), dtype=bool),
+        last_kf_odom=lie.pose_identity(),
+        prng=jax.random.PRNGKey(seed),
+        n_keyframes=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _feat_count(config: SlamConfig) -> int:
+    lv = config.frontend.pyramid_levels
+    return max(config.feats_per_node // lv, 1) * lv
+
+
+# ---------------------------------------------------------------------------
+# Keyframe step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config",))
+def process_keyframe(
+    state: SlamState,
+    kf: Keyframe,
+    cam: cam_mod.PinholeCamera,
+    cam_pose: jax.Array,
+    config: SlamConfig = SlamConfig(),
+) -> tuple[SlamState, dict]:
+    """Ingest one keyframe: front-end, candidate search, edge estimation,
+    graph insertion. ``cam_pose`` is the camera→base extrinsic."""
+    fc = config.frontend
+    ec = config.estimation
+    rc = config.recognition
+    g = state.graph
+    prng, k_ransac, k_filter = jax.random.split(state.prng, 3)
+
+    # --- front-end (feature_extraction_service_node.cpp:85-285) ---
+    kps, desc = features.detect_and_describe(
+        kf.image,
+        max_keypoints=_feat_count(config),
+        threshold=fc.fast_threshold,
+        grid=fc.grid,
+        n_levels=fc.pyramid_levels,
+        scale_factor=fc.scale_factor,
+    )
+    dep = (
+        depth_ops.joint_bilateral_filter(kf.depth, kf.image)
+        if fc.use_depth_refinement
+        else kf.depth
+    )
+    ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, kf.image.shape[1] - 1)
+    vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, kf.image.shape[0] - 1)
+    z = dep[vi, ui]
+    pts_cam = cam_mod.backproject(cam, kps.uv[:, 0], kps.uv[:, 1], z)
+    pts_base = lie.pose_apply(cam_pose[None], pts_cam)
+    pts_valid = kps.valid & (z > 0.1) & jnp.isfinite(z)
+
+    gist = features.binary_gist(kf.image)
+    vscan = scan_ops.depth_to_scan(
+        dep, cam, cam_pose, n_bins=config.scan_bins,
+        height_band=(-0.4, 0.6), max_range=6.0,
+    )
+
+    # --- pose bootstrap: map estimate from diff ∘ odom (graph_slam_node.cpp:188-202)
+    map_pose = lie.pose_compose(g.diff_transform, kf.odom_pose)
+    prev_slot = g.num_nodes - 1
+    has_prev = prev_slot >= 0
+    prev_slot_safe = jnp.maximum(prev_slot, 0)
+
+    # --- place-recognition + distance candidates BEFORE inserting the node
+    k = rc.k_candidates
+    pr_slots, pr_dist, pr_ok = rec.gist_query(
+        state.gist, gist, kf.stamp, k=k, max_dist=rc.gist_max_dist,
+        min_dt=rc.min_time_separation,
+    )
+    # distance loop closures (graph_slam_node.cpp:273-289): nearest valid
+    # nodes within radius, heading within 30°, temporally separated
+    d_nodes = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(map_pose)[None], axis=-1)
+    rel_q = lie.quat_mul(lie.quat_conj(lie.pose_q(g.pose)), lie.pose_q(map_pose)[None])
+    ang_ok = jnp.degrees(lie.rotation_angle(rel_q)) < config.keyframe.distance_closure_max_angle_deg
+    d_eligible = (
+        g.node_valid
+        & (d_nodes < config.keyframe.distance_closure_radius)
+        & ang_ok
+        & (jnp.abs(g.stamp - kf.stamp) >= rc.min_time_separation)
+    )
+    d_sorted = jnp.where(d_eligible, d_nodes, jnp.inf)
+    neg, dist_slots = jax.lax.top_k(-d_sorted, k)
+    dist_ok = jnp.isfinite(-neg)
+
+    cand_slots = jnp.concatenate([pr_slots, dist_slots]).astype(jnp.int32)
+    cand_ok = jnp.concatenate([pr_ok, dist_ok])
+    # dedup against existing edges and within the candidate list
+    cand_ok &= rec.mask_existing_pairs(
+        g.e_from, g.e_to, g.e_valid, cand_slots,
+        jnp.full_like(cand_slots, g.num_nodes),
+    )
+    first_hit = jnp.argmax(cand_slots[None, :] == cand_slots[:, None], axis=-1)
+    cand_ok &= first_hit == jnp.arange(cand_slots.shape[0])
+
+    # --- batched candidate registration (RANSAC edges) ---
+    cur_bits = matching.unpack_bits(desc)
+
+    def register(cslot, key):
+        cdesc = state.desc[cslot]
+        cvalid = state.desc_valid[cslot]
+        cpts = state.points[cslot]
+        mi, ok_m, _ = matching.match_descriptors(
+            cur_bits, matching.unpack_bits(cdesc),
+            valid_a=pts_valid, valid_b=cvalid,
+            ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+        )
+        res = ransac.ransac_rigid(
+            key, pts_base, cpts[mi], ok_m,
+            n_hypotheses=ec.ransac_hypotheses,
+            inlier_thresh=ec.ransac_inlier_thresh,
+            min_consensus=ec.min_consensus,
+        )
+        return res
+
+    rkeys = jax.random.split(k_ransac, cand_slots.shape[0])
+    res = jax.vmap(register)(jnp.maximum(cand_slots, 0), rkeys)
+
+    # acceptance gates (newEdgeCallback, graph_slam_node.cpp:798-803)
+    t_norm = jnp.linalg.norm(lie.pose_t(res.pose), axis=-1)
+    r_deg = jnp.degrees(lie.rotation_angle(lie.pose_q(res.pose)))
+    edge_ok = (
+        cand_ok
+        & res.ok
+        & (res.consensus >= ec.min_matching_score)
+        & (t_norm < ec.max_edge_translation)
+        & (r_deg < ec.max_edge_rotation_deg)
+    )
+
+    # --- insert node ---
+    g, new_slot = gstate.add_node(
+        g, map_pose, kf.odom_pose, kf.stamp,
+        uncertainty=jnp.where(
+            has_prev, g.uncertainty[prev_slot_safe], 0.0
+        ),
+    )
+
+    # odometry edge (graph_slam_node.cpp:327-336)
+    rel_odom = lie.pose_relative(g.odom_pose[prev_slot_safe], kf.odom_pose)
+    odo_info = gstate.odometry_information(rel_odom)
+    g, _ = gstate.add_edge(
+        g, jnp.where(has_prev, prev_slot, -1), new_slot, rel_odom, odo_info,
+        etype=gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY,
+    )
+
+    # scan edge to previous node (estimateScanEdge, :1180-1246)
+    if config.use_laser_edges:
+        prev_scan = state.scans[prev_slot_safe]
+        prev_pts, prev_okm = _scan_pts(prev_scan, config.scan_bins)
+        cur_pts, cur_okm = scan_ops.scan_points(vscan)
+        init2 = lie.pose_to_pose2(rel_odom)
+        ires = icp.icp_point_to_line(
+            cur_pts, cur_okm, prev_pts, prev_okm & state.scan_valid[prev_slot_safe],
+            init2,
+            iterations=ec.icp_iterations,
+            max_corr_dist=ec.icp_max_corr,
+            min_valid_fraction=ec.icp_min_valid_fraction,
+        )
+        # ICP aligns current scan into the previous frame: T_prev_cur
+        laser_ok = has_prev & ires.ok
+        g, _ = gstate.add_edge(
+            g,
+            jnp.where(laser_ok, prev_slot, -1),
+            new_slot,
+            icp.icp_edge_pose(ires.pose2),
+            icp.icp_information_6d(ires.cov3),
+            etype=gstate.EDGE_TYPE_2D_LASER,
+        )
+
+    # loop-closure candidate edges: from candidate (old) -> current, transform
+    # X_cand^-1 X_cur; enter INVALID until the cluster filter validates them
+    # (slam_edge.cpp:47 default + g2o_optimizer whitelist)
+    def add_cand(gg, xs):
+        cslot, ok, pose, info, consensus = xs
+        gg, _ = gstate.add_edge(
+            gg,
+            jnp.where(ok, cslot, -1),
+            new_slot,
+            pose,
+            info,
+            etype=gstate.EDGE_TYPE_3D_FULL,
+            score=consensus.astype(jnp.float32),
+            valid=False,
+        )
+        return gg, None
+
+    g, _ = jax.lax.scan(
+        add_cand, g,
+        (cand_slots, edge_ok, res.pose, res.information, res.consensus),
+    )
+
+    # --- store node data in banks ---
+    ns = jnp.maximum(new_slot, 0)
+    wrote = new_slot >= 0
+    state = state._replace(
+        graph=g,
+        gist=rec.gist_bank_add(state.gist, new_slot, gist, kf.stamp),
+        desc=state.desc.at[ns].set(jnp.where(wrote, desc, state.desc[ns])),
+        desc_valid=state.desc_valid.at[ns].set(jnp.where(wrote, pts_valid, state.desc_valid[ns])),
+        points=state.points.at[ns].set(jnp.where(wrote, pts_base, state.points[ns])),
+        scans=state.scans.at[ns].set(jnp.where(wrote, vscan.ranges, state.scans[ns])),
+        scan_valid=state.scan_valid.at[ns].set(wrote),
+        last_kf_odom=kf.odom_pose,
+        prng=prng,
+        n_keyframes=state.n_keyframes + 1,
+    )
+    info = {
+        "new_slot": new_slot,
+        "n_candidates": jnp.sum(cand_ok),
+        "n_edges_proposed": jnp.sum(edge_ok),
+        "n_features": jnp.sum(pts_valid),
+    }
+    return state, info
+
+
+def _scan_pts(ranges: jax.Array, n_bins: int):
+    s = scan_ops.Scan(
+        ranges, ranges, jnp.float32(-jnp.pi), jnp.float32(jnp.pi)
+    )
+    return scan_ops.scan_points(s)
+
+
+# ---------------------------------------------------------------------------
+# Optimization epoch
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config",))
+def optimize_epoch(
+    state: SlamState, config: SlamConfig = SlamConfig()
+) -> tuple[SlamState, solver.SolveStats]:
+    """Filter loop closures, solve, update uncertainty and map→odom diff
+    (optimizationTimerCallback → finishedGraphOptimization)."""
+    g = state.graph
+    key, prng = jax.random.split(state.prng)
+
+    # candidate loop closures = feature edges regardless of current validity
+    slot_idx = jnp.arange(g.edge_capacity)
+    is_lc = (g.e_type == gstate.EDGE_TYPE_3D_FULL) & (slot_idx < g.num_edges)
+    idx = jnp.nonzero(is_lc, size=min(256, g.edge_capacity), fill_value=-1)[0].astype(jnp.int32)
+    # pre-gate by the plausibility heuristic (checkEdgeHeuristic)
+    cand_valid = idx >= 0
+    safe = jnp.where(cand_valid, idx, 0)
+    heur = gfilter.edge_heuristic(
+        g, g.e_from[safe], g.e_to[safe], config.scope.scope_size_factor
+    ) & cand_valid
+    g_h = g._replace(
+        e_valid=g.e_valid.at[safe].set(jnp.where(cand_valid, heur, g.e_valid[safe]))
+    )
+    keep = gfilter.filter_loop_closures(
+        g_h._replace(e_valid=g_h.e_valid | is_lc), idx, key, config.filter
+    )
+    keep &= heur
+    new_valid = g.e_valid.at[safe].set(jnp.where(cand_valid, keep, g.e_valid[safe]))
+    g = g._replace(e_valid=new_valid)
+
+    g, stats = solver.optimize(g, config.solver)
+    g = shortest_path.reevaluate_uncertainty(g)
+
+    # map->odom diff from the newest valid node (graph_slam_node.cpp:188-202)
+    newest = jnp.argmax(jnp.where(g.node_valid, g.stamp, -jnp.inf))
+    diff = lie.pose_compose(g.pose[newest], lie.pose_inverse(g.odom_pose[newest]))
+    g = g._replace(diff_transform=diff)
+
+    return state._replace(graph=g, prng=prng), stats
+
+
+# ---------------------------------------------------------------------------
+# Host-side convenience wrapper
+# ---------------------------------------------------------------------------
+
+class Slam:
+    """Imperative shell over the functional core: keyframe gating, capacity
+    growth, and epoch scheduling (the role of ``main()`` + timers,
+    ``graph_slam_node.cpp:1284-1355``)."""
+
+    def __init__(self, config: SlamConfig = SlamConfig(), cam=None,
+                 cam_pose=None, seed: int = 0):
+        self.config = config
+        self.cam = cam or cam_mod.default_kinect()
+        self.cam_pose = cam_pose if cam_pose is not None else lie.pose_identity()
+        self.state = init_state(config, seed)
+        self.optimize_every = 10
+        self._since_opt = 0
+
+    def add_frame(self, image, depth, odom_pose, stamp) -> dict | None:
+        """Process a frame if keyframe-due; returns step info or None."""
+        kc = self.config.keyframe
+        due = bool(
+            lifecycle.keyframe_due(
+                self.state.last_kf_odom, odom_pose,
+                kc.new_node_distance, kc.new_node_angle_deg,
+            )
+        ) or int(self.state.n_keyframes) == 0
+        if not due:
+            return None
+        kf = Keyframe(image=image, depth=depth, odom_pose=odom_pose,
+                      stamp=jnp.asarray(stamp, jnp.float32))
+        self.state, info = process_keyframe(
+            self.state, kf, self.cam, self.cam_pose, self.config
+        )
+        self._since_opt += 1
+        if self._since_opt >= self.optimize_every:
+            self.optimize()
+        return jax.tree.map(lambda x: x.item() if hasattr(x, "item") else x, info)
+
+    def optimize(self):
+        self.state, stats = optimize_epoch(self.state, self.config)
+        self._since_opt = 0
+        return stats
+
+    def trajectory(self):
+        g = self.state.graph
+        n = int(g.num_nodes)
+        return g.pose[:n], g.node_valid[:n]

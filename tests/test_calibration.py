@@ -1,0 +1,147 @@
+"""Calibration solver tests (SURVEY.md §7 phase 11)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uzliti_slam_tpu.graph import calibration
+from uzliti_slam_tpu.graph import state as gstate
+from uzliti_slam_tpu.io import synthetic
+from uzliti_slam_tpu.ops import lie
+
+KEY = jax.random.PRNGKey(0)
+
+
+def build_calib_problem(true_L_twist, n=40):
+    """Graph with ground-truth poses; sensor edges measured through a
+    miscalibrated extrinsic L; odometry edges exact."""
+    # Planar motion leaves parts of the extrinsic unobservable (hand-eye
+    # degeneracy); add out-of-plane wobble for full 6-DoF observability.
+    base = synthetic.circle_trajectory(n, radius=4.0)
+    ph = jnp.linspace(0.0, 6 * jnp.pi, n)
+    wobble = jnp.stack(
+        [jnp.zeros(n), jnp.zeros(n), 0.3 * jnp.sin(ph),
+         0.2 * jnp.sin(1.3 * ph), 0.2 * jnp.cos(0.7 * ph), jnp.zeros(n)],
+        axis=-1,
+    )
+    gt = lie.pose_compose(base, lie.se3_exp(wobble))
+    g = gstate.empty_graph(n, 4 * n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    g = g._replace(
+        pose=g.pose.at[:n].set(gt),
+        odom_pose=g.odom_pose.at[:n].set(gt),
+        stamp=g.stamp.at[:n].set(0.1 * idx.astype(jnp.float32)),
+        node_valid=g.node_valid.at[:n].set(True),
+        node_uid=g.node_uid.at[:n].set(idx),
+        num_nodes=jnp.asarray(n, jnp.int32),
+    )
+    true_L = lie.se3_exp(jnp.asarray(true_L_twist))
+    info = jnp.eye(6) * 100.0
+    esf, est_ = [], []
+    for i in range(n - 1):
+        # odometry edge
+        g, _ = gstate.add_edge(
+            g, jnp.asarray(i, jnp.int32), jnp.asarray(i + 1, jnp.int32),
+            lie.pose_relative(gt[i], gt[i + 1]), info,
+            etype=gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY,
+        )
+        esf.append(-1); est_.append(-1)
+        # sensor edge i -> i+2 measured in sensor frame
+        if i + 2 < n:
+            meas = lie.pose_relative(
+                lie.pose_compose(gt[i], true_L), lie.pose_compose(gt[i + 2], true_L)
+            )
+            g, _ = gstate.add_edge(
+                g, jnp.asarray(i, jnp.int32), jnp.asarray(i + 2, jnp.int32),
+                meas, info, etype=gstate.EDGE_TYPE_3D_FULL,
+            )
+            esf.append(0); est_.append(0)
+    pad = g.edge_capacity - len(esf)
+    e_sf = jnp.asarray(esf + [-1] * pad, jnp.int32)
+    e_st = jnp.asarray(est_ + [-1] * pad, jnp.int32)
+    return g, true_L, e_sf, e_st
+
+
+class TestSensorCalibration:
+    def test_recovers_extrinsic(self):
+        true_twist = jnp.array([0.08, -0.05, 0.1, 0.04, -0.06, 0.09])
+        g, true_L, e_sf, e_st = build_calib_problem(true_twist)
+        init = lie.pose_identity((1,))
+        res = calibration.calibrate(g, init, e_sf, e_st, iterations=15, prior_weight=1e-4)
+        dt, dr = lie.pose_distance(res.sensor_transforms[0], true_L)
+        assert float(res.final_cost) < float(res.cost_history[0]) * 1e-3
+        assert float(dt) < 0.01 and float(dr) < 0.01
+
+    def test_prior_holds_when_no_information(self):
+        # no sensor edges at all: extrinsic stays at its initial value
+        g, _, e_sf, e_st = build_calib_problem(jnp.zeros(6))
+        e_sf = jnp.full_like(e_sf, -1)
+        init = lie.se3_exp(jnp.array([0.2, 0.0, 0.0, 0.0, 0.0, 0.0]))[None]
+        res = calibration.calibrate(g, init, e_sf, e_st, iterations=10)
+        dt, dr = lie.pose_distance(res.sensor_transforms[0], init[0])
+        assert float(dt) < 1e-4 and float(dr) < 1e-4
+
+
+class TestOdometryCalibration:
+    def test_drift_correct_model(self):
+        meas = lie.pose2_to_pose(jnp.array([1.0, 0.0, 0.5]))
+        p = jnp.array([2.0, 0.1, 0.05])
+        out = calibration.odometry_drift_correct(meas, p)
+        drift = 0.1 * 0.5 + 0.05 * 1.0
+        np.testing.assert_allclose(
+            float(lie.yaw_of(lie.pose_q(out))), 0.5 + drift, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(lie.pose_t(out))), 2.0, atol=1e-5
+        )
+
+    def test_recovers_odom_params(self):
+        """Odometry measurements corrupted with a known drift model; the
+        solver must recover the inverse warp."""
+        # Constant-speed circles confound p1 and p2 (|yaw| ∝ ‖t‖ on every
+        # edge). Mix straight segments (observe p2) with turns (observe p1).
+        segs = []
+        x, y, th = 0.0, 0.0, 0.0
+        for rep in range(6):
+            for _ in range(6):  # straight
+                x += 0.5 * np.cos(th)
+                y += 0.5 * np.sin(th)
+                segs.append((x, y, th))
+            for _ in range(4):  # turn in place
+                th += 0.4
+                segs.append((x, y, th))
+        gt = lie.pose2_to_pose(jnp.asarray(segs, jnp.float32))
+        n = gt.shape[0]
+        true_p = jnp.array([1.05, 0.03, 0.01])
+        g = gstate.empty_graph(n, 2 * n)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        g = g._replace(
+            pose=g.pose.at[:n].set(gt),
+            odom_pose=g.odom_pose.at[:n].set(gt),
+            stamp=g.stamp.at[:n].set(0.1 * idx.astype(jnp.float32)),
+            node_valid=g.node_valid.at[:n].set(True),
+            node_uid=g.node_uid.at[:n].set(idx),
+            num_nodes=jnp.asarray(n, jnp.int32),
+        )
+        info = jnp.eye(6) * 100.0
+        # warp(meas, p) should equal the true relative pose when p = true_p;
+        # i.e. raw odometry reads warp^-1 — build meas so that
+        # drift_correct(meas, true_p) == rel
+        for i in range(n - 1):
+            rel = lie.pose_relative(gt[i], gt[i + 1])
+            # invert the warp numerically: since drift depends on meas, use
+            # fixed-point iteration (converges fast for small drift)
+            meas = rel
+            for _ in range(8):
+                corr = calibration.odometry_drift_correct(meas, true_p)
+                err = lie.pose_compose(lie.pose_inverse(corr), rel)
+                meas = lie.pose_compose(meas, err)
+            g, _ = gstate.add_edge(
+                g, jnp.asarray(i, jnp.int32), jnp.asarray(i + 1, jnp.int32),
+                meas, info, etype=gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY,
+            )
+        e_s = jnp.full((g.edge_capacity,), -1, jnp.int32)
+        res = calibration.calibrate(
+            g, lie.pose_identity((1,)), e_s, e_s, iterations=25
+        )
+        np.testing.assert_allclose(np.asarray(res.odom_params), np.asarray(true_p), atol=5e-3)

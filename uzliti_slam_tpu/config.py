@@ -81,6 +81,7 @@ class KeyframeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SlamConfig:
+    instance_id: int = 0            # namespaces node uids across instances
     node_capacity: int = 512
     edge_capacity: int = 2048
     feats_per_node: int = 128

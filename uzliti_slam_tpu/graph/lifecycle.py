@@ -231,6 +231,9 @@ def ensure_capacity(
         merged_into=jnp.concatenate(
             [g.merged_into, jnp.arange(ncap, new_n, dtype=jnp.int32)]
         ) if new_n > ncap else g.merged_into,
+        node_uid=jnp.concatenate(
+            [g.node_uid, jnp.full((new_n - ncap,), -1, dtype=jnp.int32)]
+        ) if new_n > ncap else g.node_uid,
     )
     # identity poses in padding
     if new_n > ncap:

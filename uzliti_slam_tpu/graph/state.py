@@ -46,6 +46,9 @@ class GraphState(NamedTuple):
     node_valid: jax.Array    # (N,) bool
     node_fixed: jax.Array    # (N,) bool — gauge/boundary anchors
     merged_into: jax.Array   # (N,) int32 — slot remap after merges (self id if live)
+    node_uid: jax.Array      # (N,) int32 — globally-unique node id (stable
+                             # across local/global instances; the TPU-native
+                             # replacement for the reference's string UUIDs)
 
     # --- edges (capacity E) ---
     e_from: jax.Array        # (E,) int32 node slot
@@ -82,6 +85,7 @@ def empty_graph(node_capacity: int, edge_capacity: int) -> GraphState:
         node_valid=jnp.zeros((n,), dtype=bool),
         node_fixed=jnp.zeros((n,), dtype=bool),
         merged_into=jnp.arange(n, dtype=jnp.int32),
+        node_uid=jnp.full((n,), -1, dtype=jnp.int32),
         e_from=jnp.zeros((e,), dtype=jnp.int32),
         e_to=jnp.zeros((e,), dtype=jnp.int32),
         e_transform=lie.pose_identity((e,)),
@@ -104,6 +108,7 @@ def add_node(
     stamp: jax.Array,
     fixed: bool | jax.Array = False,
     uncertainty: jax.Array | float = 0.0,
+    uid: jax.Array | int | None = None,
 ) -> tuple[GraphState, jax.Array]:
     """Append a node at the next free slot. Returns (graph, slot).
 
@@ -125,6 +130,10 @@ def add_node(
         uncertainty=wr(g.uncertainty, jnp.asarray(uncertainty, dtype=g.uncertainty.dtype)),
         node_valid=wr(g.node_valid, jnp.asarray(ok)),
         node_fixed=wr(g.node_fixed, jnp.asarray(fixed, dtype=bool)),
+        node_uid=wr(
+            g.node_uid,
+            jnp.asarray(slot if uid is None else uid, dtype=jnp.int32),
+        ),
         num_nodes=g.num_nodes + jnp.where(ok, 1, 0).astype(jnp.int32),
     )
     return g, jnp.where(ok, slot, -1)

@@ -81,6 +81,7 @@ def make_pose_graph(
         odom_pose=g.odom_pose.at[:n_nodes].set(init_poses),
         stamp=g.stamp.at[:n_nodes].set(0.1 * idx.astype(jnp.float32)),
         node_valid=g.node_valid.at[:n_nodes].set(True),
+        node_uid=g.node_uid.at[:n_nodes].set(idx),
         num_nodes=jnp.asarray(n_nodes, dtype=jnp.int32),
     )
 

@@ -1,0 +1,272 @@
+"""Local/global scope protocol: graph-delta shipping with ACKs.
+
+TPU-native re-design of the reference's two-process architecture
+(``iti_slam_launch/launch/slam.launch``: local bounded-scope SLAM +
+global persistent SLAM exchanging deltas over four ROS topics with an
+explicit ACK protocol, ``graph_slam_node.cpp:356-663``):
+
+- ``make_delta``    — local packs un-ACKed nodes/edges into a fixed-size
+                      ``GraphDelta`` (the ``/sub_graph`` Graph message);
+                      resend-until-ACK falls out of selecting !acked.
+- ``apply_delta``   — global upserts nodes by uid (new nodes unfixed, PR
+                      re-indexed) and edges by (from, to, type); returns
+                      the ACK (``/graph_received``, ``:446-533``).
+- ``apply_ack``     — local marks ACKed entries (``:434-444``).
+- ``scope_reply``   — global answers a scope request with in-radius nodes
+                      marked FIXED (``scopeRequestCallback :535-576``) —
+                      the frozen-halo boundary.
+- ``apply_scope``   — local merges the fixed boundary nodes
+                      (``scopeCallback :401-432``).
+
+Transport is the caller's choice: same-process array passing, host-to-host
+via jax.distributed / DCN collectives, or serialized via ``io.storage``.
+All functions are jit-safe with static delta capacities.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uzliti_slam_tpu.graph import state as gstate
+from uzliti_slam_tpu.graph.state import GraphState
+from uzliti_slam_tpu.ops import lie
+
+
+class GraphDelta(NamedTuple):
+    """Fixed-capacity graph delta (the ``Graph`` wire message equivalent,
+    ``graph_slam_msgs/msg/Graph.msg``)."""
+    # nodes
+    n_uid: jax.Array       # (Dn,) int32, -1 = empty slot
+    n_pose: jax.Array      # (Dn, 7)
+    n_odom_pose: jax.Array # (Dn, 7)
+    n_stamp: jax.Array     # (Dn,)
+    n_uncertainty: jax.Array  # (Dn,)
+    n_gist: jax.Array      # (Dn, 32) uint8 — PR payload
+    # edges
+    e_from_uid: jax.Array  # (De,) int32
+    e_to_uid: jax.Array    # (De,) int32
+    e_type: jax.Array      # (De,) int32, -1 = empty
+    e_transform: jax.Array # (De, 7)
+    e_info: jax.Array      # (De, 6, 6)
+    e_score: jax.Array     # (De,)
+    e_valid: jax.Array     # (De,) bool — validated flag travels with edge
+
+
+class Ack(NamedTuple):
+    """The ``GraphReceived`` ACK message."""
+    node_uids: jax.Array   # (Dn,) int32, -1 = not applied
+    edge_from: jax.Array   # (De,) int32 uid, -1 = not applied
+    edge_to: jax.Array     # (De,) int32 uid
+    edge_type: jax.Array   # (De,) int32
+
+
+class ShipState(NamedTuple):
+    """Local-side resend bookkeeping (un-ACKed sets, ``:365-393``)."""
+    node_acked: jax.Array  # (N,) bool
+    edge_acked: jax.Array  # (E,) bool
+
+
+def ship_state_init(g: GraphState) -> ShipState:
+    return ShipState(
+        node_acked=jnp.zeros((g.node_capacity,), dtype=bool),
+        edge_acked=jnp.zeros((g.edge_capacity,), dtype=bool),
+    )
+
+
+def uid_to_slot(g: GraphState, uids: jax.Array) -> jax.Array:
+    """Map uids -> node slots in g; -1 if unknown. O(B·N) masked match."""
+    hit = (g.node_uid[None, :] == uids[:, None]) & g.node_valid[None, :] & (uids[:, None] >= 0)
+    found = jnp.any(hit, axis=-1)
+    slot = jnp.argmax(hit, axis=-1)
+    return jnp.where(found, slot, -1).astype(jnp.int32)
+
+
+def make_delta(
+    g: GraphState,
+    ship: ShipState,
+    gists: jax.Array,
+    max_nodes: int = 32,
+    max_edges: int = 64,
+) -> GraphDelta:
+    """Pack up to (max_nodes, max_edges) un-ACKed valid entries."""
+    n_sel = jnp.nonzero(
+        g.node_valid & ~ship.node_acked, size=max_nodes, fill_value=-1
+    )[0]
+    npresent = n_sel >= 0
+    ns = jnp.where(npresent, n_sel, 0)
+
+    e_sel = jnp.nonzero(
+        (jnp.arange(g.edge_capacity) < g.num_edges) & ~ship.edge_acked,
+        size=max_edges, fill_value=-1,
+    )[0]
+    epresent = e_sel >= 0
+    es = jnp.where(epresent, e_sel, 0)
+
+    return GraphDelta(
+        n_uid=jnp.where(npresent, g.node_uid[ns], -1),
+        n_pose=g.pose[ns],
+        n_odom_pose=g.odom_pose[ns],
+        n_stamp=g.stamp[ns],
+        n_uncertainty=g.uncertainty[ns],
+        n_gist=gists[ns],
+        e_from_uid=jnp.where(epresent, g.node_uid[g.e_from[es]], -1),
+        e_to_uid=jnp.where(epresent, g.node_uid[g.e_to[es]], -1),
+        e_type=jnp.where(epresent, g.e_type[es], -1),
+        e_transform=g.e_transform[es],
+        e_info=g.e_info[es],
+        e_score=g.e_score[es],
+        e_valid=epresent & g.e_valid[es],
+    )
+
+
+def apply_delta(g: GraphState, delta: GraphDelta) -> tuple[GraphState, Ack]:
+    """Upsert delta into the (global) graph; return the ACK.
+
+    New nodes are inserted UNFIXED (``:473-476``); existing nodes keep
+    their current (optimized) pose — the global graph is the authority.
+    Edges dedup by (from_uid, to_uid, type) (``:493-504``); edges whose
+    endpoints are not yet present are skipped and stay un-ACKed (the
+    resend protocol will deliver them after the nodes arrive).
+    """
+    dn = delta.n_uid.shape[0]
+
+    # --- nodes ---
+    def node_body(gg, i):
+        uid = delta.n_uid[i]
+        existing = uid_to_slot(gg, uid[None])[0]
+        is_new = (uid >= 0) & (existing < 0)
+
+        def do_add(gg):
+            gg2, slot = gstate.add_node(
+                gg, delta.n_pose[i], delta.n_odom_pose[i], delta.n_stamp[i],
+                fixed=False, uncertainty=delta.n_uncertainty[i], uid=uid,
+            )
+            return gg2, slot
+
+        gg, slot = jax.lax.cond(is_new, do_add, lambda gg: (gg, jnp.int32(-1)), gg)
+        applied = jnp.where(is_new, slot >= 0, (uid >= 0) & (existing >= 0))
+        return gg, jnp.where(applied, uid, -1)
+
+    g, acked_nodes = jax.lax.scan(node_body, g, jnp.arange(dn))
+
+    # --- edges ---
+    ef_slot = uid_to_slot(g, delta.e_from_uid)
+    et_slot = uid_to_slot(g, delta.e_to_uid)
+    endpoints_ok = (ef_slot >= 0) & (et_slot >= 0) & (delta.e_type >= 0)
+
+    # dedup against existing edge table by (from_slot, to_slot, type)
+    existing_match = (
+        (g.e_from[None, :] == ef_slot[:, None])
+        & (g.e_to[None, :] == et_slot[:, None])
+        & (g.e_type[None, :] == delta.e_type[:, None])
+        & (jnp.arange(g.edge_capacity)[None, :] < g.num_edges)
+    )
+    dup = jnp.any(existing_match, axis=-1)
+
+    def edge_body(gg, i):
+        ok = endpoints_ok[i] & ~dup[i]
+
+        def do_add(gg):
+            gg2, slot = gstate.add_edge(
+                gg, ef_slot[i], et_slot[i], delta.e_transform[i],
+                delta.e_info[i], etype=delta.e_type[i],
+                score=delta.e_score[i], valid=delta.e_valid[i],
+            )
+            return gg2, slot
+
+        gg, slot = jax.lax.cond(ok, do_add, lambda gg: (gg, jnp.int32(-1)), gg)
+        applied = jnp.where(ok, slot >= 0, endpoints_ok[i] & dup[i])
+        return gg, applied
+
+    g, edge_applied = jax.lax.scan(edge_body, g, jnp.arange(delta.e_type.shape[0]))
+
+    ack = Ack(
+        node_uids=acked_nodes,
+        edge_from=jnp.where(edge_applied, delta.e_from_uid, -1),
+        edge_to=delta.e_to_uid,
+        edge_type=delta.e_type,
+    )
+    return g, ack
+
+
+def apply_ack(g: GraphState, ship: ShipState, ack: Ack) -> ShipState:
+    """Mark ACKed nodes/edges so they stop being resent (``:434-444``)."""
+    slot = uid_to_slot(g, ack.node_uids)
+    node_acked = ship.node_acked.at[jnp.where(slot >= 0, slot, g.node_capacity)].set(
+        True, mode="drop"
+    )
+    # edges: match by (from_uid, to_uid, type)
+    ef_uid = g.node_uid[g.e_from]
+    et_uid = g.node_uid[g.e_to]
+    m = (
+        (ef_uid[None, :] == ack.edge_from[:, None])
+        & (et_uid[None, :] == ack.edge_to[:, None])
+        & (g.e_type[None, :] == ack.edge_type[:, None])
+        & (ack.edge_from[:, None] >= 0)
+    )
+    edge_acked = ship.edge_acked | jnp.any(m, axis=0)
+    return ShipState(node_acked=node_acked, edge_acked=edge_acked)
+
+
+class ScopeReply(NamedTuple):
+    """The ``/scope_graph`` answer: boundary nodes, to be held fixed."""
+    uid: jax.Array    # (K,) int32, -1 empty
+    pose: jax.Array   # (K, 7)
+    stamp: jax.Array  # (K,)
+
+
+def scope_reply(
+    g: GraphState, center: jax.Array, radius: jax.Array, max_nodes: int = 32
+) -> ScopeReply:
+    """Global's answer: the nearest in-radius nodes, marked fixed
+    (``scopeRequestCallback``, ``:535-576``)."""
+    d = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(center)[None], axis=-1)
+    eligible = g.node_valid & (d <= radius)
+    key = jnp.where(eligible, d, jnp.inf)
+    neg, idx = jax.lax.top_k(-key, max_nodes)
+    ok = jnp.isfinite(-neg)
+    safe = jnp.where(ok, idx, 0)
+    return ScopeReply(
+        uid=jnp.where(ok, g.node_uid[safe], -1),
+        pose=g.pose[safe],
+        stamp=g.stamp[safe],
+    )
+
+
+def apply_scope(g: GraphState, reply: ScopeReply) -> GraphState:
+    """Local merges boundary nodes: known uids get the global pose and are
+    frozen; unknown uids are inserted as fixed anchors (``scopeCallback``,
+    ``:401-432``)."""
+    k = reply.uid.shape[0]
+
+    def body(gg, i):
+        uid = reply.uid[i]
+        slot = uid_to_slot(gg, uid[None])[0]
+        known = slot >= 0
+
+        def update(gg):
+            s = jnp.maximum(slot, 0)
+            return gg._replace(
+                pose=gg.pose.at[s].set(reply.pose[i]),
+                node_fixed=gg.node_fixed.at[s].set(True),
+            )
+
+        def insert(gg):
+            gg2, _ = gstate.add_node(
+                gg, reply.pose[i], reply.pose[i], reply.stamp[i],
+                fixed=True, uid=uid,
+            )
+            return gg2
+
+        gg = jax.lax.cond(
+            known, update,
+            lambda gg: jax.lax.cond(uid >= 0, insert, lambda g2: g2, gg),
+            gg,
+        )
+        return gg, None
+
+    g, _ = jax.lax.scan(body, g, jnp.arange(k))
+    return g

@@ -202,6 +202,7 @@ def process_keyframe(
         uncertainty=jnp.where(
             has_prev, g.uncertainty[prev_slot_safe], 0.0
         ),
+        uid=config.instance_id * 1_000_000 + g.num_nodes,
     )
 
     # odometry edge (graph_slam_node.cpp:327-336)

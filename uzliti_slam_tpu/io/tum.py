@@ -161,9 +161,12 @@ def load_sequence(root: str, max_frames: int | None = None, stride: int = 1):
     if max_frames:
         pairs = pairs[:max_frames]
     gt_stamps = np.array([g[0] for g in gt]) if gt else None
+    # native C++ decoder when built (runtime/png_decode.cpp); python fallback
+    from uzliti_slam_tpu.runtime import native
+    decode = native.decode_png_gray if native.available() else read_png_gray
     for (srgb, prgb), (sdep, pdep) in pairs:
-        img = read_png_gray(os.path.join(root, prgb))
-        depth = read_png_gray(os.path.join(root, pdep)) / DEPTH_SCALE
+        img = decode(os.path.join(root, prgb))
+        depth = decode(os.path.join(root, pdep)) / DEPTH_SCALE
         pose = None
         if gt:
             gi = int(np.argmin(np.abs(gt_stamps - srgb)))

@@ -1,53 +1,112 @@
-"""Benchmark: pose-graph GN/LM solves per second on the flagship config.
+"""Benchmarks: pose-graph solves, keyframe pipeline, scale configs.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE headline JSON line {"metric", "value", "unit", "vs_baseline"};
+all config results also go to BENCH_DETAILS.json.
 
 Baseline: the reference sustains 1 optimization epoch/s (20 LM iterations,
-g2o CSparse, ~500-1000-node local graph) on its robot CPU — its local-graph
-optimize timer runs at 1 Hz (``iti_slam_launch/yaml/local_slam.yaml:17``,
-20 iterations ``slam.yaml:51``). vs_baseline = solves_per_sec / 1.0 on a
-1000-node, 20-LM-iteration equivalent problem.
+g2o CSparse, local graph) on its robot CPU (local optimize timer 1 Hz,
+``iti_slam_launch/yaml/local_slam.yaml:17``; 20 iterations
+``slam.yaml:51``), and processes Kinect frames at ~5 Hz effective
+(30 Hz / data_skip 5, ``live.yaml:2-3``).
 """
 
 import json
 import time
 
 import jax
+import numpy as np
 
-N_NODES = 1000
-LM_ITERS = 20
-PCG_ITERS = 32
 WARMUP = 2
-REPS = 10
 
 
-def main():
+def timeit(fn, reps):
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_solver(n_nodes, lm_iters, pcg_iters, reps):
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
     g, _ = synthetic.make_pose_graph(
-        jax.random.PRNGKey(0), N_NODES, loop_closure_every=10
+        jax.random.PRNGKey(0), n_nodes, loop_closure_every=10
     )
-    cfg = solver.SolverConfig(iterations=LM_ITERS, pcg_iterations=PCG_ITERS)
-
+    cfg = solver.SolverConfig(iterations=lm_iters, pcg_iterations=pcg_iters)
     step = jax.jit(lambda gr: solver.optimize(gr, cfg)[0].pose)
-    for _ in range(WARMUP):
-        step(g).block_until_ready()
+    return timeit(lambda: step(g), reps)
 
+
+def bench_batched_instances(batch, n_nodes, lm_iters, reps):
+    import jax.numpy as jnp
+    from uzliti_slam_tpu.graph import solver
+    from uzliti_slam_tpu.io import synthetic
+
+    g, _ = synthetic.make_pose_graph(jax.random.PRNGKey(0), n_nodes, loop_closure_every=8)
+    batched = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), g)
+    cfg = solver.SolverConfig(iterations=lm_iters, pcg_iterations=16)
+    step = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[0].pose))
+    return timeit(lambda: step(batched), reps)
+
+
+def bench_keyframe_pipeline(reps=10):
+    from uzliti_slam_tpu import pipeline
+    from uzliti_slam_tpu.config import EdgeEstimationConfig, KeyframeConfig, SlamConfig
+    from uzliti_slam_tpu.io import simulator
+
+    cfg = SlamConfig(
+        node_capacity=512, edge_capacity=2048, feats_per_node=256, scan_bins=360,
+        keyframe=KeyframeConfig(new_node_distance=0.0, new_node_angle_deg=0.0),
+        estimation=EdgeEstimationConfig(min_consensus=10, min_matching_score=8.0),
+    )
+    world = simulator.WallWorld(img_h=480, img_w=640, f=525.0)
+    frames = simulator.simulate_sequence(world, n_frames=reps + 3, odom_drift=0.05, length=6.0)
+    slam = pipeline.Slam(cfg, cam=world.cam, cam_pose=simulator.cam_extrinsic())
+    slam.optimize_every = 10**9
+    for fr in frames[:3]:
+        slam.add_frame(fr["image"], fr["depth"], fr["odom_pose"], fr["stamp"])
+    jax.block_until_ready(slam.state.graph.pose)
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = step(g)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / REPS
+    for fr in frames[3:]:
+        slam.add_frame(fr["image"], fr["depth"], fr["odom_pose"], fr["stamp"])
+    jax.block_until_ready(slam.state.graph.pose)
+    return (time.perf_counter() - t0) / len(frames[3:])
 
-    solves_per_sec = 1.0 / dt
+
+def main():
+    details = {"platform": jax.devices()[0].platform}
+
+    t = bench_solver(1000, 20, 32, reps=10)
+    headline = 1.0 / t
+    details["solve_1k_20it_ms"] = round(1e3 * t, 2)
+    details["solve_1k_solves_per_sec"] = round(headline, 2)
+
+    t = bench_solver(10_000, 20, 48, reps=5)
+    details["solve_10k_20it_ms"] = round(1e3 * t, 2)
+    details["solve_10k_solves_per_sec"] = round(1.0 / t, 3)
+
+    t = bench_batched_instances(1024, 64, 5, reps=3)
+    details["batched_1024x64n_ms"] = round(1e3 * t, 2)
+    details["batched_instance_solves_per_sec"] = round(1024 / t, 0)
+
+    t = bench_keyframe_pipeline(reps=10)
+    details["keyframe_vga_ms"] = round(1e3 * t, 2)
+    details["keyframe_hz"] = round(1.0 / t, 2)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     print(
         json.dumps(
             {
-                "metric": f"pose_graph_lm_solves_per_sec_{N_NODES}n_{LM_ITERS}it",
-                "value": round(solves_per_sec, 3),
+                "metric": "pose_graph_lm_solves_per_sec_1000n_20it",
+                "value": round(headline, 3),
                 "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / 1.0, 3),
+                "vs_baseline": round(headline / 1.0, 3),
             }
         )
     )

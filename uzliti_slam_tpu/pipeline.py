@@ -82,7 +82,7 @@ def _feat_count(config: SlamConfig) -> int:
 # Keyframe step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def process_keyframe(
     state: SlamState,
     kf: Keyframe,
@@ -294,7 +294,7 @@ def _scan_pts(ranges: jax.Array, n_bins: int):
 # Optimization epoch
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def optimize_epoch(
     state: SlamState, config: SlamConfig = SlamConfig()
 ) -> tuple[SlamState, solver.SolveStats]:
@@ -338,6 +338,16 @@ def optimize_epoch(
 # Host-side convenience wrapper
 # ---------------------------------------------------------------------------
 
+def _keyframe_due_np(last_pose, cur_pose, dist_thresh, angle_deg) -> bool:
+    """Host-side keyframe gate (numpy) — avoids device round trips."""
+    import numpy as np
+
+    dt = float(np.linalg.norm(cur_pose[:3] - last_pose[:3]))
+    dot = float(np.abs(np.clip(np.sum(cur_pose[3:7] * last_pose[3:7]), -1.0, 1.0)))
+    dr = 2.0 * np.arccos(dot)
+    return dt >= dist_thresh or np.degrees(dr) >= angle_deg
+
+
 class Slam:
     """Imperative shell over the functional core: keyframe gating, capacity
     growth, and epoch scheduling (the role of ``main()`` + timers,
@@ -351,16 +361,25 @@ class Slam:
         self.state = init_state(config, seed)
         self.optimize_every = 10
         self._since_opt = 0
+        import numpy as np
+        self._last_kf_odom_host = np.asarray(self.state.last_kf_odom)
+        self._n_kf_host = 0
 
     def add_frame(self, image, depth, odom_pose, stamp) -> dict | None:
-        """Process a frame if keyframe-due; returns step info or None."""
+        """Process a frame if keyframe-due; returns step info (device
+        arrays — don't sync them on the hot path) or None.
+
+        The keyframe gate runs host-side in numpy and the step is a single
+        jitted dispatch: over a remote-TPU tunnel each dispatch costs
+        ~40 ms, so the frame path must be exactly one round trip.
+        """
+        import numpy as np
+
         kc = self.config.keyframe
-        due = bool(
-            lifecycle.keyframe_due(
-                self.state.last_kf_odom, odom_pose,
-                kc.new_node_distance, kc.new_node_angle_deg,
-            )
-        ) or int(self.state.n_keyframes) == 0
+        due = self._n_kf_host == 0 or _keyframe_due_np(
+            self._last_kf_odom_host, np.asarray(odom_pose),
+            kc.new_node_distance, kc.new_node_angle_deg,
+        )
         if not due:
             return None
         kf = Keyframe(image=image, depth=depth, odom_pose=odom_pose,
@@ -368,10 +387,12 @@ class Slam:
         self.state, info = process_keyframe(
             self.state, kf, self.cam, self.cam_pose, self.config
         )
+        self._last_kf_odom_host = np.asarray(odom_pose)
+        self._n_kf_host += 1
         self._since_opt += 1
         if self._since_opt >= self.optimize_every:
             self.optimize()
-        return jax.tree.map(lambda x: x.item() if hasattr(x, "item") else x, info)
+        return info
 
     def optimize(self):
         self.state, stats = optimize_epoch(self.state, self.config)

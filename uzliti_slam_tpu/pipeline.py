@@ -91,39 +91,84 @@ def process_keyframe(
     config: SlamConfig = SlamConfig(),
 ) -> tuple[SlamState, dict]:
     """Ingest one keyframe: front-end, candidate search, edge estimation,
-    graph insertion. ``cam_pose`` is the camera→base extrinsic."""
+    graph insertion.
+
+    Multi-camera: ``kf.image``/``kf.depth`` may carry a leading camera axis
+    (C, H, W) with ``cam_pose`` (C, 7) per-camera extrinsics — the
+    reference's multi-Kinect capture path (per-camera extraction then
+    merged SensorDataArray + merged virtual scans,
+    ``feature_extraction_service_node.cpp:101-285``). Single-camera inputs
+    (H, W) and (7,) are promoted to C=1. Intrinsics are shared across
+    cameras (per-camera intrinsics: pass stacked fields in ``cam``).
+    """
     fc = config.frontend
     ec = config.estimation
     rc = config.recognition
     g = state.graph
     prng, k_ransac, k_filter = jax.random.split(state.prng, 3)
 
-    # --- front-end (feature_extraction_service_node.cpp:85-285) ---
-    kps, desc = features.detect_and_describe(
-        kf.image,
-        max_keypoints=_feat_count(config),
-        threshold=fc.fast_threshold,
-        grid=fc.grid,
-        n_levels=fc.pyramid_levels,
-        scale_factor=fc.scale_factor,
-    )
-    dep = (
-        depth_ops.joint_bilateral_filter(kf.depth, kf.image)
-        if fc.use_depth_refinement
-        else kf.depth
-    )
-    ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, kf.image.shape[1] - 1)
-    vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, kf.image.shape[0] - 1)
-    z = dep[vi, ui]
-    pts_cam = cam_mod.backproject(cam, kps.uv[:, 0], kps.uv[:, 1], z)
-    pts_base = lie.pose_apply(cam_pose[None], pts_cam)
-    pts_valid = kps.valid & (z > 0.1) & jnp.isfinite(z)
+    # --- normalize to a camera axis ---
+    imgs = kf.image if kf.image.ndim == 3 else kf.image[None]
+    deps = kf.depth if kf.depth.ndim == 3 else kf.depth[None]
+    cam_poses = cam_pose if cam_pose.ndim == 2 else cam_pose[None]
+    n_cams = imgs.shape[0]
+    k_per_cam = _feat_count(config) // n_cams
+    if k_per_cam * n_cams != _feat_count(config):
+        raise ValueError(
+            f"feats_per_node budget {_feat_count(config)} not divisible by "
+            f"{n_cams} cameras"
+        )
 
-    gist = features.binary_gist(kf.image)
-    vscan = scan_ops.depth_to_scan(
-        dep, cam, cam_pose, n_bins=config.scan_bins,
-        height_band=(-0.4, 0.6), max_range=6.0,
+    # --- front-end, vmapped over cameras (feature_extraction_service_node.cpp:85-285) ---
+    def frontend_one(img, dep_raw, cpose):
+        kps, desc = features.detect_and_describe(
+            img,
+            max_keypoints=k_per_cam,
+            threshold=fc.fast_threshold,
+            grid=fc.grid,
+            n_levels=fc.pyramid_levels,
+            scale_factor=fc.scale_factor,
+        )
+        dep = (
+            depth_ops.joint_bilateral_filter(dep_raw, img)
+            if fc.use_depth_refinement
+            else dep_raw
+        )
+        ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+        vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+        z = dep[vi, ui]
+        pts_cam = cam_mod.backproject(cam, kps.uv[:, 0], kps.uv[:, 1], z)
+        pts_base = lie.pose_apply(cpose[None], pts_cam)
+        pts_valid = kps.valid & (z > 0.1) & jnp.isfinite(z)
+        vscan = scan_ops.depth_to_scan(
+            dep, cam, cpose, n_bins=config.scan_bins,
+            height_band=(-0.4, 0.6), max_range=6.0,
+        )
+        return desc, pts_base, pts_valid, vscan
+
+    desc_c, pts_c, valid_c, vscan_c = jax.vmap(frontend_one)(imgs, deps, cam_poses)
+    desc = desc_c.reshape(-1, 32)
+    pts_base = pts_c.reshape(-1, 3)
+    pts_valid = valid_c.reshape(-1)
+
+    # merge per-camera virtual scans in polar space (graph_grid_mapper.cpp:45-133)
+    def merge_fold(acc, i):
+        cur = scan_ops.Scan(
+            vscan_c.ranges[i], vscan_c.far_ranges[i],
+            vscan_c.angle_min[i], vscan_c.angle_max[i],
+        )
+        return scan_ops.merge_scans(acc, cur), None
+
+    vscan0 = scan_ops.Scan(
+        vscan_c.ranges[0], vscan_c.far_ranges[0],
+        vscan_c.angle_min[0], vscan_c.angle_max[0],
     )
+    if n_cams > 1:
+        vscan, _ = jax.lax.scan(merge_fold, vscan0, jnp.arange(1, n_cams))
+    else:
+        vscan = vscan0
+
+    gist = features.binary_gist(imgs[0])
 
     # --- pose bootstrap: map estimate from diff ∘ odom (graph_slam_node.cpp:188-202)
     map_pose = lie.pose_compose(g.diff_transform, kf.odom_pose)

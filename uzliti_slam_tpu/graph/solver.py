@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST
+
 from uzliti_slam_tpu.graph import factors
 from uzliti_slam_tpu.graph.state import GraphState
 from uzliti_slam_tpu.ops import lie
@@ -39,6 +41,9 @@ class SolverConfig:
     lambda_max: float = 1e2
     huber_delta: float = 1.0      # g2o_optimizer.cpp:292-294
     pcg_tol: float = 1e-8         # relative residual early-stop (masked)
+    preconditioner: str = "jacobi"  # "jacobi" | "chain" (block-tridiagonal
+                                  # cyclic reduction; far fewer CG iters on
+                                  # long trajectory graphs)
 
 
 class SolveStats(NamedTuple):
@@ -136,9 +141,9 @@ def _gradient(g: GraphState, r, Ji, Jj, W, free, reduce=_identity_reduce) -> jax
     device axis (psum over ICI in the sharded solver); identity on one chip.
     """
     n = g.node_capacity
-    Wr = jnp.einsum("eij,ej->ei", W, r)
-    gi = jnp.einsum("eji,ej->ei", Ji, Wr)
-    gj = jnp.einsum("eji,ej->ei", Jj, Wr)
+    Wr = jnp.einsum("eij,ej->ei", W, r, precision=_PREC)
+    gi = jnp.einsum("eji,ej->ei", Ji, Wr, precision=_PREC)
+    gj = jnp.einsum("eji,ej->ei", Jj, Wr, precision=_PREC)
     out = jax.ops.segment_sum(gi, g.e_from, num_segments=n)
     out = out + jax.ops.segment_sum(gj, g.e_to, num_segments=n)
     return reduce(out) * free[:, None]
@@ -147,10 +152,10 @@ def _gradient(g: GraphState, r, Ji, Jj, W, free, reduce=_identity_reduce) -> jax
 def _hessian_diag_blocks(g: GraphState, Ji, Jj, W, reduce=_identity_reduce) -> jax.Array:
     """Block-diagonal of H: (N, 6, 6) via segment-sum of JᵀWJ."""
     n = g.node_capacity
-    WJi = jnp.einsum("eij,ejk->eik", W, Ji)
-    WJj = jnp.einsum("eij,ejk->eik", W, Jj)
-    Hii = jnp.einsum("eji,ejk->eik", Ji, WJi)
-    Hjj = jnp.einsum("eji,ejk->eik", Jj, WJj)
+    WJi = jnp.einsum("eij,ejk->eik", W, Ji, precision=_PREC)
+    WJj = jnp.einsum("eij,ejk->eik", W, Jj, precision=_PREC)
+    Hii = jnp.einsum("eji,ejk->eik", Ji, WJi, precision=_PREC)
+    Hjj = jnp.einsum("eji,ejk->eik", Jj, WJj, precision=_PREC)
     out = jax.ops.segment_sum(Hii, g.e_from, num_segments=n)
     return reduce(out + jax.ops.segment_sum(Hjj, g.e_to, num_segments=n))
 
@@ -163,10 +168,10 @@ def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array,
 
     def hvp(v):
         vm = v * free[:, None]
-        u = jnp.einsum("eij,ej->ei", Ji, vm[ef]) + jnp.einsum("eij,ej->ei", Jj, vm[et])
-        Wu = jnp.einsum("eij,ej->ei", W, u)
-        yi = jnp.einsum("eji,ej->ei", Ji, Wu)
-        yj = jnp.einsum("eji,ej->ei", Jj, Wu)
+        u = jnp.einsum("eij,ej->ei", Ji, vm[ef], precision=_PREC) + jnp.einsum("eij,ej->ei", Jj, vm[et], precision=_PREC)
+        Wu = jnp.einsum("eij,ej->ei", W, u, precision=_PREC)
+        yi = jnp.einsum("eji,ej->ei", Ji, Wu, precision=_PREC)
+        yj = jnp.einsum("eji,ej->ei", Jj, Wu, precision=_PREC)
         y = jax.ops.segment_sum(yi, ef, num_segments=n)
         y = reduce(y + jax.ops.segment_sum(yj, et, num_segments=n))
         return (y + damp * vm) * free[:, None]
@@ -186,11 +191,8 @@ def _block_jacobi_inverse(Hblocks: jax.Array, damp: jax.Array, free: jax.Array) 
     return jnp.where(free[:, None, None], inv, eye)
 
 
-def _pcg(hvp, Minv_blocks, b, iterations: int, tol: float):
+def _pcg(hvp, apply_minv, b, iterations: int, tol: float):
     """Preconditioned CG for H dx = b. Fixed iteration count, masked stall."""
-
-    def apply_minv(x):
-        return jnp.einsum("nij,nj->ni", Minv_blocks, x)
 
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -253,8 +255,22 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
         hdiag = jax.vmap(jnp.diag)(Hblocks)
         damp = lam * jnp.maximum(hdiag, 1e-6)
         hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
-        Minv = _block_jacobi_inverse(Hblocks, damp, free)
-        dx = _pcg(hvp, Minv, -grad, config.pcg_iterations, config.pcg_tol)
+        if config.preconditioner == "chain":
+            from uzliti_slam_tpu.graph import tridiag
+
+            U = tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free)
+            U = reduce(U)
+            eye = jnp.eye(6)
+            Dm = jnp.where(
+                free[:, None, None] > 0,
+                Hblocks + jax.vmap(jnp.diag)(damp),
+                eye,
+            )
+            apply_minv = lambda r: tridiag.block_tridiag_solve(Dm, U, r)
+        else:
+            Minv = _block_jacobi_inverse(Hblocks, damp, free)
+            apply_minv = lambda r: jnp.einsum("nij,nj->ni", Minv, r, precision=_PREC)
+        dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations, config.pcg_tol)
         dx = dx * free[:, None]
 
         cand = lie.pose_retract(poses, dx)

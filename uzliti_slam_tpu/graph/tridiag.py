@@ -1,0 +1,127 @@
+"""Block-tridiagonal solves via cyclic reduction — the chain preconditioner.
+
+Block-Jacobi PCG stalls on trajectory graphs: the odometry chain couples
+pose i only to i±1, so CG needs O(N) iterations to move information across
+a 100k-node trajectory.  The classic fix is to precondition with the exact
+solve of the **tridiagonal part** of the Gauss-Newton Hessian (diagonal
+blocks + consecutive-pose couplings).  Sparse Cholesky would solve that
+chain sequentially; here it is **block cyclic reduction**: log2(N) sweeps,
+each a batch of 6×6 inverses/matmuls over the surviving indices — exactly
+the parallel-scan shape TPUs like (SURVEY.md §7 "Hard parts": sparse
+block-Cholesky has no TPU idiom; this is its chain-structured replacement).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _inv6(M):
+    """Batched SPD-ish 6x6 inverse with damping floor.
+
+    Unrolled Gauss-Jordan (no pivoting — blocks are damped SPD): six
+    rank-1 elimination sweeps of pure element-wise VPU work, instead of
+    ``jnp.linalg.inv``'s LU custom call, which dominates runtime on TPU
+    for small batched blocks.
+    """
+    eye = jnp.eye(6, dtype=M.dtype)
+    aug = jnp.concatenate(
+        [M + 1e-8 * eye, jnp.broadcast_to(eye, M.shape)], axis=-1
+    )  # (..., 6, 12)
+    for k in range(6):
+        piv = aug[..., k, k][..., None]
+        row = aug[..., k, :] / piv
+        aug = aug - aug[..., :, k][..., None] * row[..., None, :]
+        aug = aug.at[..., k, :].set(row)
+    return aug[..., 6:]
+
+
+def _pad_pow2(D, U, b):
+    n = D.shape[0]
+    n2 = 1 << max((n - 1).bit_length(), 0)
+    if n2 == n:
+        return D, U, b, n
+    pad = n2 - n
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), (pad, 6, 6))
+    D = jnp.concatenate([D, eye])
+    U = jnp.concatenate([U, jnp.zeros((pad, 6, 6), D.dtype)])[:n2]
+    b = jnp.concatenate([b, jnp.zeros((pad, 6), D.dtype)])
+    return D, U, b, n
+
+
+def block_tridiag_solve(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric block-tridiagonal A.
+
+    D: (n, 6, 6) diagonal blocks; U: (n, 6, 6) with U[i] = A[i, i+1]
+    (U[n-1] ignored/zero); b: (n, 6). Returns x (n, 6).
+    """
+    D, U, b, n_orig = _pad_pow2(D, U, b)
+    n = D.shape[0]
+    U = U.at[n - 1].set(jnp.zeros((6, 6), D.dtype))
+
+    def reduce_level(D, U, b):
+        m = D.shape[0]
+        De, Do = D[0::2], D[1::2]
+        be, bo = b[0::2], b[1::2]
+        Ueo = U[0::2]          # couples even j -> odd j+1
+        Uoe = U[1::2]          # couples odd j+1 -> even j+2
+        Dinv_o = _inv6(Do)
+        # left-shifted odd quantities (for the j-1 neighbour of even j)
+        Uoe_m = jnp.roll(Uoe, 1, axis=0).at[0].set(0.0)
+        bo_m = jnp.roll(bo, 1, axis=0).at[0].set(0.0)
+        Dinv_om = jnp.roll(Dinv_o, 1, axis=0).at[0].set(jnp.eye(6, dtype=D.dtype))
+
+        t1 = jnp.einsum("nji,njk,nkl->nil", Uoe_m, Dinv_om, Uoe_m, precision=_PREC)
+        t2 = jnp.einsum("nij,njk,nlk->nil", Ueo, Dinv_o, Ueo, precision=_PREC)
+        newD = De - t1 - t2
+        newb = (
+            be
+            - jnp.einsum("nji,njk,nk->ni", Uoe_m, Dinv_om, bo_m, precision=_PREC)
+            - jnp.einsum("nij,njk,nk->ni", Ueo, Dinv_o, bo, precision=_PREC)
+        )
+        newU = -jnp.einsum("nij,njk,nkl->nil", Ueo, Dinv_o, Uoe, precision=_PREC)
+        newU = newU.at[-1].set(0.0)
+        return newD, newU, newb, Dinv_o
+
+    # forward reduction, caching per-level inverses for back-substitution
+    levels = []
+    Dk, Uk, bk = D, U, b
+    while Dk.shape[0] > 1:
+        newD, newU, newb, Dinv_o = reduce_level(Dk, Uk, bk)
+        levels.append((Dinv_o, Uk, bk))
+        Dk, Uk, bk = newD, newU, newb
+
+    x = jnp.einsum("nij,nj->ni", _inv6(Dk), bk, precision=_PREC)  # single block
+
+    for Dinv_o, Uk, bk in reversed(levels):
+        m = Uk.shape[0]
+        bo = bk[1::2]
+        Ueo = Uk[0::2]
+        Uoe = Uk[1::2]
+        x_e = x                                   # (m/2, 6) even solutions
+        x_e_next = jnp.roll(x_e, -1, axis=0).at[-1].set(0.0)
+        rhs = (
+            bo
+            - jnp.einsum("nji,nj->ni", Ueo, x_e, precision=_PREC)
+            - jnp.einsum("nij,nj->ni", Uoe, x_e_next, precision=_PREC)
+        )
+        x_o = jnp.einsum("nij,nj->ni", Dinv_o, rhs, precision=_PREC)
+        x = jnp.stack([x_e, x_o], axis=1).reshape(m, 6)
+
+    return x[:n_orig]
+
+
+def chain_offdiag_blocks(g, Ji, Jj, W, free) -> jax.Array:
+    """Assemble U[i] = H[i, i+1]: couplings from edges between consecutive
+    slots (the odometry/laser chain). (N, 6, 6); rows with a fixed/invalid
+    endpoint are zeroed (decoupled)."""
+    n = g.node_capacity
+    consecutive = (g.e_to == g.e_from + 1) & g.e_valid
+    contrib = jnp.einsum("eji,ejk,ekl->eil", Ji, W, Jj, precision=_PREC)
+    contrib = contrib * consecutive[:, None, None]
+    U = jax.ops.segment_sum(contrib, jnp.where(consecutive, g.e_from, n), num_segments=n + 1)[:n]
+    both_free = (free[:, None, None] > 0) & (jnp.roll(free, -1)[:, None, None] > 0)
+    return U * both_free

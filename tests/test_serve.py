@@ -1,0 +1,103 @@
+"""HTTP serving surface test: drive a live server over a socket."""
+
+import http.client
+import io
+import json
+import tempfile
+import threading
+
+import numpy as np
+import pytest
+
+from uzliti_slam_tpu import serve
+from uzliti_slam_tpu.config import EdgeEstimationConfig, KeyframeConfig, SlamConfig
+from uzliti_slam_tpu.io import simulator
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = SlamConfig(
+        node_capacity=32, edge_capacity=128, feats_per_node=64, scan_bins=90,
+        keyframe=KeyframeConfig(new_node_distance=0.2),
+        estimation=EdgeEstimationConfig(min_consensus=8, min_matching_score=6.0),
+    )
+    world = simulator.WallWorld(img_h=96, img_w=128)
+    svc = serve.SlamService(cfg, cam=world.cam, cam_pose=simulator.cam_extrinsic())
+    httpd = serve.serve(svc, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1], world
+    httpd.shutdown()
+
+
+def post_npz(port, path, **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=buf.getvalue())
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+class TestServe:
+    def test_frame_ingestion_and_queries(self, server):
+        port, world = server
+        frames = simulator.simulate_sequence(world, n_frames=6, odom_drift=0.02, length=1.5)
+        n_kf = 0
+        for fr in frames:
+            code, resp = post_npz(
+                port, "/frame",
+                image=np.asarray(fr["image"]), depth=np.asarray(fr["depth"]),
+                odom_pose=np.asarray(fr["odom_pose"]), stamp=np.float32(fr["stamp"]),
+            )
+            assert code == 200
+            n_kf += resp["keyframe"]
+        assert n_kf >= 4
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/optimize")
+        r = conn.getresponse()
+        chi2 = json.loads(r.read())["chi2"]
+        assert len(chi2) > 1
+
+        code, traj = get(port, "/trajectory")
+        assert code == 200
+        assert len(traj["poses"]) == n_kf
+        assert len(traj["poses"][0]) == 7
+
+        code, g = get(port, "/graph")
+        assert len(g["nodes"]) == n_kf
+
+        code, stats = get(port, "/stats")
+        assert stats["n_nodes"] == n_kf
+        assert stats["count_frames"] == 6
+
+    def test_checkpoint_endpoint(self, server):
+        port, _ = server
+        with tempfile.TemporaryDirectory() as d:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/checkpoint", body=json.dumps({"path": d}).encode())
+            assert json.loads(conn.getresponse().read())["ok"]
+            import os
+            assert os.path.exists(os.path.join(d, "snapshot.npz"))
+
+    def test_malformed_requests(self, server):
+        port, _ = server
+        # garbage body on /frame
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/frame", body=b"not-an-npz")
+        assert conn.getresponse().status == 400
+        # unknown path
+        code, resp = get(port, "/nope")
+        assert code == 404
+        # checkpoint without path
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/checkpoint", body=b"{}")
+        assert conn.getresponse().status == 400

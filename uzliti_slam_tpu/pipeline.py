@@ -380,6 +380,97 @@ def optimize_epoch(
 
 
 # ---------------------------------------------------------------------------
+# Periodic maintenance steps (the reference's auxiliary timers)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config", "k_targets"), donate_argnums=(0,))
+def scan_reregistration(
+    state: SlamState, config: SlamConfig = SlamConfig(), k_targets: int = 4
+) -> tuple[SlamState, jax.Array]:
+    """ICP the newest node's scan against its k nearest neighbours and add
+    laser edges — the reference's scan re-registration timer
+    (``GraphSlam.cfg:24``, up to 10 Hz re-running ``estimateScanEdge``
+    against nearby nodes). Returns (state, number of edges added)."""
+    g = state.graph
+    ec = config.estimation
+    cur = jnp.maximum(g.num_nodes - 1, 0)
+    has = (g.num_nodes > 0) & state.scan_valid[cur]
+
+    d = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(g.pose[cur])[None], axis=-1)
+    slots = jnp.arange(g.node_capacity)
+    eligible = (
+        g.node_valid & state.scan_valid & (slots != cur)
+        & (slots != cur - 1)  # consecutive edge already added at insertion
+        & (d < config.keyframe.distance_closure_radius * 2)
+    )
+    neg, targets = jax.lax.top_k(-jnp.where(eligible, d, jnp.inf), k_targets)
+    t_ok = jnp.isfinite(-neg) & has
+
+    cur_pts, cur_okm = _scan_pts(state.scans[cur], config.scan_bins)
+
+    def one(tslot):
+        tp, tok = _scan_pts(state.scans[tslot], config.scan_bins)
+        init2 = lie.pose_to_pose2(lie.pose_relative(g.pose[tslot], g.pose[cur]))
+        return icp.icp_point_to_line(
+            cur_pts, cur_okm, tp, tok, init2,
+            iterations=ec.icp_iterations,
+            max_corr_dist=ec.icp_max_corr,
+            min_valid_fraction=ec.icp_min_valid_fraction,
+        )
+
+    ires = jax.vmap(one)(jnp.maximum(targets, 0))
+    ok = t_ok & ires.ok
+
+    def add_one(gg, xs):
+        tslot, okk, p2, cov = xs
+        gg, _ = gstate.add_edge(
+            gg, jnp.where(okk, tslot, -1), cur,
+            icp.icp_edge_pose(p2), icp.icp_information_6d(cov),
+            etype=gstate.EDGE_TYPE_2D_LASER,
+        )
+        return gg, None
+
+    g, _ = jax.lax.scan(add_one, g, (targets, ok, ires.pose2, ires.cov3))
+    return state._replace(graph=g), jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def maintenance_epoch(
+    state: SlamState, config: SlamConfig = SlamConfig()
+) -> tuple[SlamState, dict]:
+    """Scope-window maintenance: node merging (global role,
+    ``mergeTimerCallback``) and/or eviction bookkeeping (local role). The
+    robot center is the newest node."""
+    g = state.graph
+    sc = config.scope
+    cur = jnp.maximum(g.num_nodes - 1, 0)
+    center = g.pose[cur]
+    radius = lifecycle.scope_radius(
+        g.uncertainty[cur], sc.scope_size_min, sc.scope_size_factor
+    )
+    n_merged = jnp.zeros((), jnp.int32)
+    if sc.merge_nodes:
+        g, n_merged = lifecycle.merge_step(
+            g, center, radius,
+            dist_thresh=sc.merge_dist,
+            angle_thresh_deg=sc.merge_angle_deg,
+            margin=sc.merge_margin,
+        )
+        n_merged = n_merged.astype(jnp.int32)
+    evicted = jnp.zeros((), jnp.int32)
+    if sc.is_sub_graph:
+        mask = lifecycle.out_of_scope_mask(g, center, radius, sc.eviction_margin)
+        g = lifecycle.evict_nodes(g, mask)
+        # drop evicted nodes from the recognition banks too
+        state = state._replace(
+            gist=state.gist._replace(valid=state.gist.valid & ~mask),
+            scan_valid=state.scan_valid & ~mask,
+        )
+        evicted = jnp.sum(mask).astype(jnp.int32)
+    return state._replace(graph=g), {"merged": n_merged, "evicted": evicted}
+
+
+# ---------------------------------------------------------------------------
 # Host-side convenience wrapper
 # ---------------------------------------------------------------------------
 
@@ -443,6 +534,16 @@ class Slam:
         self.state, stats = optimize_epoch(self.state, self.config)
         self._since_opt = 0
         return stats
+
+    def reregister_scans(self, k_targets: int = 4):
+        """Scan re-registration timer equivalent."""
+        self.state, n = scan_reregistration(self.state, self.config, k_targets)
+        return n
+
+    def maintain(self):
+        """Merge/eviction timer equivalent (role set by config.scope)."""
+        self.state, info = maintenance_epoch(self.state, self.config)
+        return info
 
     def trajectory(self):
         g = self.state.graph

@@ -1,0 +1,179 @@
+"""SLAM-as-a-service: a minimal HTTP ingestion/query server.
+
+The deployment surface replacing the reference's ROS topic graph
+(``slam.launch`` wiring): frames stream in over HTTP, trajectory/map/state
+stream out.  Stdlib-only (zero-egress image); the heavy lifting stays in
+the jitted pipeline — the handler thread does one dispatch per frame.
+
+Endpoints:
+- ``POST /frame``       npz body: image (H,W) or (C,H,W) f32, depth, odom_pose (7,), stamp ()
+                        → {"keyframe": bool, "n_nodes": int}
+- ``POST /optimize``    run one optimization epoch → {"chi2": [...]}
+- ``GET  /trajectory``  → JSON {stamps, poses} of valid nodes
+- ``GET  /graph``       → JSON marker export (viz.graph_to_dict)
+- ``GET  /stats``       → node/edge counts + metrics summary
+- ``POST /checkpoint``  body {"path": ...} → snapshot state
+- ``POST /shutdown``
+
+Usage: ``python -m uzliti_slam_tpu.serve --port 8765 [--cpu]``
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class SlamService:
+    """Thread-safe wrapper: one SLAM instance behind a lock (the jitted
+    steps are sequential by design — state threading replaces the
+    reference's graph mutex).
+
+    Package imports are deferred to construction so ``--cpu`` can set the
+    platform BEFORE any array is created (module-level imports would pin
+    the default remote-TPU backend).
+    """
+
+    def __init__(self, config=None, cam=None, cam_pose=None):
+        from uzliti_slam_tpu import metrics as metrics_mod
+        from uzliti_slam_tpu import pipeline
+        from uzliti_slam_tpu.config import SlamConfig
+
+        self.slam = pipeline.Slam(config or SlamConfig(), cam=cam, cam_pose=cam_pose)
+        self.metrics = metrics_mod.Metrics()
+        self.lock = threading.Lock()
+
+    def add_frame(self, image, depth, odom_pose, stamp):
+        with self.lock, self.metrics.stage("frontend"):
+            info = self.slam.add_frame(image, depth, odom_pose, stamp)
+        self.metrics.count("frames")
+        if info is not None:
+            self.metrics.count("keyframes")
+        return info
+
+    def optimize(self):
+        with self.lock, self.metrics.stage("optimization"):
+            stats = self.slam.optimize()
+        return stats
+
+    def trajectory(self):
+        with self.lock:
+            g = self.slam.state.graph
+            n = int(g.num_nodes)
+            valid = np.asarray(g.node_valid[:n])
+            poses = np.asarray(g.pose[:n])[valid]
+            stamps = np.asarray(g.stamp[:n])[valid]
+        return stamps.tolist(), poses.tolist()
+
+    def graph_dict(self):
+        from uzliti_slam_tpu import viz
+        with self.lock:
+            return viz.graph_to_dict(self.slam.state.graph)
+
+    def stats(self):
+        with self.lock:
+            g = self.slam.state.graph
+            out = {
+                "n_nodes": int(g.num_nodes),
+                "n_edges": int(g.num_edges),
+                "n_valid_nodes": int(np.asarray(g.node_valid).sum()),
+            }
+        out.update(self.metrics.summary())
+        return out
+
+    def checkpoint(self, path: str):
+        from uzliti_slam_tpu.io import storage
+        with self.lock:
+            storage.save_state(path, self.slam.state)
+
+
+def make_handler(service: SlamService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                if self.path == "/trajectory":
+                    stamps, poses = service.trajectory()
+                    self._json({"stamps": stamps, "poses": poses})
+                elif self.path == "/graph":
+                    self._json(service.graph_dict())
+                elif self.path == "/stats":
+                    self._json(service.stats())
+                else:
+                    self._json({"error": f"unknown path {self.path}"}, 404)
+            except Exception as e:  # pragma: no cover
+                self._json({"error": str(e)}, 500)
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if self.path == "/frame":
+                    data = np.load(io.BytesIO(body))
+                    info = service.add_frame(
+                        np.asarray(data["image"], np.float32),
+                        np.asarray(data["depth"], np.float32),
+                        np.asarray(data["odom_pose"], np.float32),
+                        float(data["stamp"]),
+                    )
+                    self._json({
+                        "keyframe": info is not None,
+                        "n_nodes": int(service.slam.state.graph.num_nodes),
+                    })
+                elif self.path == "/optimize":
+                    stats = service.optimize()
+                    self._json({"chi2": np.asarray(stats.chi2_history).tolist()})
+                elif self.path == "/checkpoint":
+                    req = json.loads(body or b"{}")
+                    service.checkpoint(req["path"])
+                    self._json({"ok": True})
+                elif self.path == "/shutdown":
+                    self._json({"ok": True})
+                    threading.Thread(target=self.server.shutdown).start()
+                else:
+                    self._json({"error": f"unknown path {self.path}"}, 404)
+            except KeyError as e:
+                self._json({"error": f"missing field {e}"}, 400)
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+
+    return Handler
+
+
+def serve(service: SlamService, port: int = 8765, host: str = "127.0.0.1"):
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    return httpd
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    svc = SlamService()
+    httpd = serve(svc, args.port)
+    print(f"uzliti_slam_tpu serving on :{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,16 +29,21 @@ def timeit(fn, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_solver(n_nodes, lm_iters, pcg_iters, reps):
+def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="jacobi"):
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
     g, _ = synthetic.make_pose_graph(
         jax.random.PRNGKey(0), n_nodes, loop_closure_every=10
     )
-    cfg = solver.SolverConfig(iterations=lm_iters, pcg_iterations=pcg_iters)
-    step = jax.jit(lambda gr: solver.optimize(gr, cfg)[0].pose)
-    return timeit(lambda: step(g), reps)
+    cfg = solver.SolverConfig(
+        iterations=lm_iters, pcg_iterations=pcg_iters,
+        preconditioner=preconditioner,
+    )
+    step = jax.jit(lambda gr: solver.optimize(gr, cfg))
+    t = timeit(lambda: step(g)[0].pose, reps)
+    out, stats = step(g)
+    return t, float(jax.device_get(stats.chi2_history[-1]))
 
 
 def bench_batched_instances(batch, n_nodes, lm_iters, reps):
@@ -80,14 +85,20 @@ def bench_keyframe_pipeline(reps=10):
 def main():
     details = {"platform": jax.devices()[0].platform}
 
-    t = bench_solver(1000, 20, 32, reps=10)
+    t, chi2 = bench_solver(1000, 20, 32, reps=10)
     headline = 1.0 / t
     details["solve_1k_20it_ms"] = round(1e3 * t, 2)
     details["solve_1k_solves_per_sec"] = round(headline, 2)
+    details["solve_1k_chi2"] = round(chi2, 2)
 
-    t = bench_solver(10_000, 20, 48, reps=5)
+    t, chi2 = bench_solver(1000, 10, 6, reps=10, preconditioner="chain")
+    details["solve_1k_chain_10x6_ms"] = round(1e3 * t, 2)
+    details["solve_1k_chain_chi2"] = round(chi2, 2)
+
+    t, chi2 = bench_solver(10_000, 20, 48, reps=5)
     details["solve_10k_20it_ms"] = round(1e3 * t, 2)
     details["solve_10k_solves_per_sec"] = round(1.0 / t, 3)
+    details["solve_10k_chi2"] = round(chi2, 2)
 
     t = bench_batched_instances(1024, 64, 5, reps=3)
     details["batched_1024x64n_ms"] = round(1e3 * t, 2)

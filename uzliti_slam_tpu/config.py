@@ -79,6 +79,39 @@ class KeyframeConfig:
     distance_closure_max_angle_deg: float = 30.0
 
 
+def config_from_dict(cls, data: dict):
+    """Build a (nested) frozen config from plain dicts — the launch-yaml
+    tier of the reference's config system, for JSON/YAML deployment files."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = config_from_dict(f.type, v)
+        elif isinstance(v, dict):
+            sub = f.default if not isinstance(f.default, dataclasses._MISSING_TYPE) else None
+            kwargs[f.name] = config_from_dict(type(sub), v) if sub is not None else v
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> "SlamConfig":
+    """Load a SlamConfig from a JSON file (nested dicts per subsystem)."""
+    import json
+
+    with open(path) as f:
+        return config_from_dict(SlamConfig, json.load(f))
+
+
+def save_config(config, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2)
+
+
 @dataclasses.dataclass(frozen=True)
 class SlamConfig:
     instance_id: int = 0            # namespaces node uids across instances

@@ -21,7 +21,6 @@ import zlib
 
 import numpy as np
 
-from uzliti_slam_tpu.ops import lie
 
 DEPTH_SCALE = 5000.0  # TUM: depth png value / 5000 = meters
 # TUM freiburg default intrinsics

@@ -105,7 +105,7 @@ def process_keyframe(
     ec = config.estimation
     rc = config.recognition
     g = state.graph
-    prng, k_ransac, k_filter = jax.random.split(state.prng, 3)
+    prng, k_ransac = jax.random.split(state.prng)
 
     # --- normalize to a camera axis ---
     imgs = kf.image if kf.image.ndim == 3 else kf.image[None]

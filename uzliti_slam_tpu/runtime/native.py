@@ -270,7 +270,7 @@ class DeltaLog:
             if rc != 0:
                 raise OSError(f"deltalog append failed {rc}")
         else:
-            import struct, zlib
+            import struct
             self._f.write(struct.pack("<III", 0x554C4F47, rtype, len(payload)))
             self._f.write(payload)
             self._f.write(struct.pack("<I", _py_crc(payload)))

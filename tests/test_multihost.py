@@ -1,0 +1,49 @@
+"""Multi-host helpers degrade correctly to the single-process 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uzliti_slam_tpu.graph import solver
+from uzliti_slam_tpu.io import synthetic
+from uzliti_slam_tpu.parallel import multihost
+
+
+class TestMultihost:
+    def test_initialize_noop_single_process(self):
+        multihost.initialize()  # must not raise
+
+    def test_pod_mesh_shapes(self):
+        mesh = multihost.pod_mesh(batch_axis=2, edge_axis=4)
+        assert mesh.shape == {"batch": 2, "edge": 4}
+        with pytest.raises(ValueError, match="devices"):
+            multihost.pod_mesh(batch_axis=3, edge_axis=4)
+
+    def test_partial_axis_derived(self):
+        mesh = multihost.pod_mesh(batch_axis=4)
+        assert mesh.shape == {"batch": 4, "edge": 2}
+        mesh = multihost.pod_mesh(edge_axis=2)
+        assert mesh.shape == {"batch": 4, "edge": 2}
+
+    def test_fleet_uses_all_devices(self):
+        keys = jax.random.split(jax.random.PRNGKey(1), 8)
+        graphs = [synthetic.make_pose_graph(k, 16, loop_closure_every=8)[0] for k in keys]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+        mesh = multihost.pod_mesh(batch_axis=2, edge_axis=4)
+        out = multihost.solve_fleet(batched, mesh, solver.SolverConfig(iterations=2))
+        # batch dim sharded over batch*edge = 8 devices -> 1 instance each
+        shard_shapes = {s.data.shape[0] for s in out.pose.addressable_shards}
+        assert shard_shapes == {1}
+
+    def test_fleet_solve_matches_individual(self):
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+        graphs = [synthetic.make_pose_graph(k, 24, loop_closure_every=8)[0] for k in keys]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+        mesh = multihost.pod_mesh(batch_axis=8, edge_axis=1)
+        cfg = solver.SolverConfig(iterations=5)
+        out = multihost.solve_fleet(batched, mesh, cfg)
+        ref = solver.optimize(graphs[3], cfg)[0]
+        np.testing.assert_allclose(
+            np.asarray(out.pose[3]), np.asarray(ref.pose), atol=1e-4
+        )

@@ -114,11 +114,12 @@ def optimize_sharded(
 def optimize_batch(
     graphs: GraphState,
     mesh: Mesh,
-    axis_name: str = "batch",
+    axis_name: str | tuple = "batch",
     config: SolverConfig = SolverConfig(),
 ) -> GraphState:
     """Optimize a batch of independent SLAM instances (leading batch dim on
-    every array), data-parallel over ``mesh[axis_name]``.
+    every array), data-parallel over ``mesh[axis_name]`` (a tuple of axis
+    names shards the batch over their product).
 
     This is the 4096-instance configuration from BASELINE.md: pure pjit —
     annotate shardings and let XLA partition the vmapped solve.

@@ -88,9 +88,15 @@ def filter_loop_closures(
     cand_idx: jax.Array,
     key: jax.Array,
     config: FilterConfig = FilterConfig(),
+    cand_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Validate candidate loop-closure edges (edge-table indices ``cand_idx``,
     shape (B,) with -1 padding). Returns (B,) bool: which stay valid.
+
+    ``cand_mask`` (B,) selects which candidates participate (e.g. the
+    plausibility-heuristic survivors); default = the edges' current
+    validity. Candidates with an invalid endpoint node are always
+    excluded — an evicted/merged node must never anchor a revived edge.
 
     Pipeline: endpoint world positions under the current estimate → cluster
     by stamps → per-cluster RANSAC over (predicted, actual) endpoint
@@ -102,7 +108,8 @@ def filter_loop_closures(
 
     ef = g.e_from[ci]
     et = g.e_to[ci]
-    valid = present & g.e_valid[ci]
+    valid = present & (g.e_valid[ci] if cand_mask is None else cand_mask)
+    valid &= g.node_valid[ef] & g.node_valid[et]
 
     # Predicted position of the 'to' node via the edge vs its actual
     # position (transformation_filter.cpp:246-260, sensor composition is
@@ -180,6 +187,17 @@ def filter_loop_closures(
     return keep & valid
 
 
+def recent_candidates(mask: jax.Array, size: int) -> jax.Array:
+    """Indices of the most recent ``size`` True entries of ``mask``
+    (-1 padded). A plain ``nonzero(size=...)`` keeps the OLDEST slots and
+    would permanently starve newly-added loop closures once the window
+    fills; selecting from the tail keeps fresh candidates flowing while
+    already-validated old edges retain their validity."""
+    count = jnp.sum(mask)
+    recent = mask & (jnp.cumsum(mask) > count - size)
+    return jnp.nonzero(recent, size=size, fill_value=-1)[0].astype(jnp.int32)
+
+
 def _rank_within_cluster(score: jax.Array, labels: jax.Array, b: int) -> jax.Array:
     """Rank (0 = best) of each element among its cluster by descending score."""
     higher = (
@@ -202,8 +220,7 @@ def apply_filter(
         (g.e_type != gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY)
         & g.e_valid
     )
-    # static top-k by recency of presence: take first max_candidates lc slots
-    idx = jnp.nonzero(is_lc, size=max_candidates, fill_value=-1)[0].astype(jnp.int32)
+    idx = recent_candidates(is_lc, max_candidates)
     keep = filter_loop_closures(g, idx, key, config)
     safe_idx = jnp.where(idx >= 0, idx, 0)
     new_valid = g.e_valid.at[safe_idx].set(

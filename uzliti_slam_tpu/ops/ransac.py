@@ -51,20 +51,31 @@ def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array) -> jax.Array:
     return lie.make_pose(t, lie.matrix_to_quat(R))
 
 
-def _progressive_sample(key: jax.Array, k_hyp: int, m: int, min_window: int = 10):
-    """PROSAC-style sampling: hypothesis h draws its 3 points from the first
-    ``window(h)`` correspondences, with the window widening linearly — the
-    batched analog of the reference's progressively-widened shuffle window
-    (``feature_transformation_estimator.cpp:214-243``). Correspondences are
-    assumed sorted by descending match quality.
+def _valid_sample(key: jax.Array, k_hyp: int, valid: jax.Array,
+                  quality: jax.Array | None = None, beta: float = 4.0):
+    """Sample (k_hyp, 3) correspondence indices among VALID entries only.
+
+    Quality-biased categorical sampling is the batched analog of PROSAC's
+    progressively-widened quality window (reference
+    ``feature_transformation_estimator.cpp:214-243``) that works for
+    arbitrary validity masks — uniform windowed sampling would almost
+    never draw 3 valid points from a sparse mask (e.g. a small cluster
+    scattered through a large candidate table). With ``quality`` given,
+    high-quality correspondences are exponentially preferred (soft
+    PROSAC); without it, sampling is uniform over the valid set.
     """
-    windows = jnp.minimum(
-        min_window + (jnp.arange(k_hyp) * max(m - min_window, 0)) // max(k_hyp - 1, 1),
-        m,
-    )
-    u = jax.random.uniform(key, (k_hyp, 3))
-    idx = (u * windows[:, None]).astype(jnp.int32)
-    return jnp.clip(idx, 0, m - 1)
+    # -1e30 instead of -inf: an all-invalid mask must still sample finite
+    # indices (results are discarded via the sample-validity gate)
+    if quality is None:
+        logits = jnp.where(valid, 0.0, -1e30)
+    else:
+        q = jnp.where(valid, quality, -jnp.inf)
+        # normalize to [0, 1] rank-free scale before tempering
+        qmax = jnp.max(jnp.where(valid, quality, -jnp.inf))
+        qmin = jnp.min(jnp.where(valid, quality, jnp.inf))
+        span = jnp.maximum(qmax - qmin, 1e-6)
+        logits = jnp.where(valid, beta * (q - qmin) / span, -1e30)
+    return jax.random.categorical(key, logits[None, None, :], shape=(k_hyp, 3))
 
 
 def ransac_rigid(
@@ -76,19 +87,22 @@ def ransac_rigid(
     inlier_thresh: float = 0.05,
     min_consensus: int = 12,
     weights: jax.Array | None = None,
+    quality: jax.Array | None = None,
 ) -> RansacResult:
     """Batched robust rigid-transform fit between corresponded 3-D points.
 
-    src, dst: (M, 3) corresponded points (sorted by match quality for the
-    PROSAC windowing); valid: (M,) bool. Everything static-shaped: K
-    hypotheses evaluated unconditionally (no early exit; the reference's
-    60%-inlier break, ``FeatureLinkEstimation.cfg:11-12``, is subsumed by
-    evaluating all hypotheses at once).
+    src, dst: (M, 3) corresponded points; valid: (M,) bool (may be
+    arbitrarily sparse — sampling is restricted to valid entries).
+    ``quality`` optionally biases sampling toward better matches (soft
+    PROSAC). Everything static-shaped: K hypotheses evaluated
+    unconditionally (no early exit; the reference's 60%-inlier break,
+    ``FeatureLinkEstimation.cfg:11-12``, is subsumed by evaluating all
+    hypotheses at once).
     """
     m = src.shape[0]
     w = valid.astype(jnp.float32) if weights is None else weights * valid
 
-    tri = _progressive_sample(key, n_hypotheses, m)  # (K, 3)
+    tri = _valid_sample(key, n_hypotheses, valid, quality)  # (K, 3)
 
     def fit_one(idx3):
         s = src[idx3]

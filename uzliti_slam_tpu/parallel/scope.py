@@ -165,6 +165,17 @@ def apply_delta(g: GraphState, delta: GraphDelta) -> tuple[GraphState, Ack]:
         & (jnp.arange(g.edge_capacity)[None, :] < g.num_edges)
     )
     dup = jnp.any(existing_match, axis=-1)
+    # ...and within the delta itself: a resend batch can carry the same
+    # (from, to, type) twice; only the first occurrence inserts
+    de = delta.e_type.shape[0]
+    same_in_delta = (
+        (delta.e_from_uid[None, :] == delta.e_from_uid[:, None])
+        & (delta.e_to_uid[None, :] == delta.e_to_uid[:, None])
+        & (delta.e_type[None, :] == delta.e_type[:, None])
+        & (jnp.arange(de)[None, :] < jnp.arange(de)[:, None])
+        & endpoints_ok[None, :]
+    )
+    dup = dup | jnp.any(same_in_delta, axis=-1)
 
     def edge_body(gg, i):
         ok = endpoints_ok[i] & ~dup[i]

@@ -199,13 +199,20 @@ def process_keyframe(
 
     cand_slots = jnp.concatenate([pr_slots, dist_slots]).astype(jnp.int32)
     cand_ok = jnp.concatenate([pr_ok, dist_ok])
-    # dedup against existing edges and within the candidate list
+    # dedup against existing edges and within the candidate list; only a
+    # VALID earlier duplicate suppresses (top_k padding reuses slot ids of
+    # invalid entries — those must not shadow a genuine later candidate)
     cand_ok &= rec.mask_existing_pairs(
         g.e_from, g.e_to, g.e_valid, cand_slots,
         jnp.full_like(cand_slots, g.num_nodes),
     )
-    first_hit = jnp.argmax(cand_slots[None, :] == cand_slots[:, None], axis=-1)
-    cand_ok &= first_hit == jnp.arange(cand_slots.shape[0])
+    nb = cand_slots.shape[0]
+    earlier_valid_dup = (
+        (cand_slots[None, :] == cand_slots[:, None])
+        & cand_ok[None, :]
+        & (jnp.arange(nb)[None, :] < jnp.arange(nb)[:, None])
+    )
+    cand_ok &= ~jnp.any(earlier_valid_dup, axis=-1)
 
     # --- batched candidate registration (RANSAC edges) ---
     cur_bits = matching.unpack_bits(desc)
@@ -214,7 +221,7 @@ def process_keyframe(
         cdesc = state.desc[cslot]
         cvalid = state.desc_valid[cslot]
         cpts = state.points[cslot]
-        mi, ok_m, _ = matching.match_descriptors(
+        mi, ok_m, dist = matching.match_descriptors(
             cur_bits, matching.unpack_bits(cdesc),
             valid_a=pts_valid, valid_b=cvalid,
             ratio=ec.match_ratio, max_dist=ec.max_match_distance,
@@ -224,6 +231,7 @@ def process_keyframe(
             n_hypotheses=ec.ransac_hypotheses,
             inlier_thresh=ec.ransac_inlier_thresh,
             min_consensus=ec.min_consensus,
+            quality=-dist,  # soft PROSAC: prefer low-Hamming matches
         )
         return res
 
@@ -314,7 +322,9 @@ def process_keyframe(
         desc_valid=state.desc_valid.at[ns].set(jnp.where(wrote, pts_valid, state.desc_valid[ns])),
         points=state.points.at[ns].set(jnp.where(wrote, pts_base, state.points[ns])),
         scans=state.scans.at[ns].set(jnp.where(wrote, vscan.ranges, state.scans[ns])),
-        scan_valid=state.scan_valid.at[ns].set(wrote),
+        scan_valid=state.scan_valid.at[ns].set(
+            jnp.where(wrote, True, state.scan_valid[ns])
+        ),
         last_kf_odom=kf.odom_pose,
         prng=prng,
         n_keyframes=state.n_keyframes + 1,
@@ -348,23 +358,28 @@ def optimize_epoch(
     g = state.graph
     key, prng = jax.random.split(state.prng)
 
-    # candidate loop closures = feature edges regardless of current validity
+    # candidate loop closures = feature edges regardless of current
+    # validity, endpoints must be live, and the window follows RECENCY so
+    # new closures are never starved once the table outgrows it
     slot_idx = jnp.arange(g.edge_capacity)
-    is_lc = (g.e_type == gstate.EDGE_TYPE_3D_FULL) & (slot_idx < g.num_edges)
-    idx = jnp.nonzero(is_lc, size=min(256, g.edge_capacity), fill_value=-1)[0].astype(jnp.int32)
-    # pre-gate by the plausibility heuristic (checkEdgeHeuristic)
+    is_lc = (
+        (g.e_type == gstate.EDGE_TYPE_3D_FULL)
+        & (slot_idx < g.num_edges)
+        & g.node_valid[g.e_from]
+        & g.node_valid[g.e_to]
+    )
+    idx = gfilter.recent_candidates(is_lc, min(256, g.edge_capacity))
     cand_valid = idx >= 0
     safe = jnp.where(cand_valid, idx, 0)
+    # plausibility pre-gate (checkEdgeHeuristic) feeds the filter as the
+    # candidate mask — implausible edges are excluded BEFORE clustering so
+    # they cannot corroborate each other inside a cluster
     heur = gfilter.edge_heuristic(
         g, g.e_from[safe], g.e_to[safe], config.scope.scope_size_factor
     ) & cand_valid
-    g_h = g._replace(
-        e_valid=g.e_valid.at[safe].set(jnp.where(cand_valid, heur, g.e_valid[safe]))
-    )
     keep = gfilter.filter_loop_closures(
-        g_h._replace(e_valid=g_h.e_valid | is_lc), idx, key, config.filter
+        g, idx, key, config.filter, cand_mask=heur
     )
-    keep &= heur
     new_valid = g.e_valid.at[safe].set(jnp.where(cand_valid, keep, g.e_valid[safe]))
     g = g._replace(e_valid=new_valid)
 
@@ -405,6 +420,13 @@ def scan_reregistration(
     )
     neg, targets = jax.lax.top_k(-jnp.where(eligible, d, jnp.inf), k_targets)
     t_ok = jnp.isfinite(-neg) & has
+    # skip targets already connected to cur by a laser edge — the periodic
+    # timer must not accumulate duplicates until the table overflows
+    t_ok &= rec.mask_existing_pairs(
+        g.e_from, g.e_to,
+        g.e_valid & (g.e_type == gstate.EDGE_TYPE_2D_LASER),
+        targets, jnp.full_like(targets, cur),
+    )
 
     cur_pts, cur_okm = _scan_pts(state.scans[cur], config.scan_bins)
 
@@ -436,11 +458,18 @@ def scan_reregistration(
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def maintenance_epoch(
-    state: SlamState, config: SlamConfig = SlamConfig()
+    state: SlamState,
+    config: SlamConfig = SlamConfig(),
+    shipped: jax.Array | None = None,
 ) -> tuple[SlamState, dict]:
     """Scope-window maintenance: node merging (global role,
     ``mergeTimerCallback``) and/or eviction bookkeeping (local role). The
-    robot center is the newest node."""
+    robot center is the newest node.
+
+    ``shipped`` (N,) gates eviction to nodes already ACKed by the global
+    graph (the reference only evicts sent nodes, ``:619-660``); without a
+    scope protocol it defaults to everything (standalone local window).
+    """
     g = state.graph
     sc = config.scope
     cur = jnp.maximum(g.num_nodes - 1, 0)
@@ -448,8 +477,17 @@ def maintenance_epoch(
     radius = lifecycle.scope_radius(
         g.uncertainty[cur], sc.scope_size_min, sc.scope_size_factor
     )
+
+    def drop_from_banks(state, dead):
+        return state._replace(
+            gist=state.gist._replace(valid=state.gist.valid & ~dead),
+            scan_valid=state.scan_valid & ~dead,
+            desc_valid=state.desc_valid & ~dead[:, None],
+        )
+
     n_merged = jnp.zeros((), jnp.int32)
     if sc.merge_nodes:
+        live_before = g.node_valid
         g, n_merged = lifecycle.merge_step(
             g, center, radius,
             dist_thresh=sc.merge_dist,
@@ -457,17 +495,48 @@ def maintenance_epoch(
             margin=sc.merge_margin,
         )
         n_merged = n_merged.astype(jnp.int32)
+        # absorbed nodes must leave the recognition banks too, or PR keeps
+        # proposing candidates against dead slots
+        state = drop_from_banks(state, live_before & ~g.node_valid)
     evicted = jnp.zeros((), jnp.int32)
     if sc.is_sub_graph:
-        mask = lifecycle.out_of_scope_mask(g, center, radius, sc.eviction_margin)
-        g = lifecycle.evict_nodes(g, mask)
-        # drop evicted nodes from the recognition banks too
-        state = state._replace(
-            gist=state.gist._replace(valid=state.gist.valid & ~mask),
-            scan_valid=state.scan_valid & ~mask,
+        mask = lifecycle.out_of_scope_mask(
+            g, center, radius, sc.eviction_margin, shipped=shipped
         )
+        g = lifecycle.evict_nodes(g, mask)
+        state = drop_from_banks(state, mask)
         evicted = jnp.sum(mask).astype(jnp.int32)
     return state._replace(graph=g), {"merged": n_merged, "evicted": evicted}
+
+
+def grow_state(state: SlamState, node_capacity: int, edge_capacity: int) -> SlamState:
+    """Host-side capacity growth of the graph AND all per-node banks
+    (recompilation-free growth tiers: shapes change only between jitted
+    steps). Not jit-safe."""
+    g = lifecycle.ensure_capacity(state.graph, node_capacity, edge_capacity)
+    new_n = g.node_capacity
+    old_n = state.desc.shape[0]
+    if new_n == old_n:
+        return state._replace(graph=g)
+    pad = new_n - old_n
+
+    def pad0(a, fill=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return state._replace(
+        graph=g,
+        gist=rec.GistBank(
+            desc=pad0(state.gist.desc),
+            stamp=pad0(state.gist.stamp),
+            valid=pad0(state.gist.valid),
+        ),
+        desc=pad0(state.desc),
+        desc_valid=pad0(state.desc_valid),
+        points=pad0(state.points),
+        scans=pad0(state.scans, fill=jnp.inf),
+        scan_valid=pad0(state.scan_valid),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +565,7 @@ class Slam:
         self.cam_pose = cam_pose if cam_pose is not None else lie.pose_identity()
         self.state = init_state(config, seed)
         self.optimize_every = 10
+        self.auto_grow = True
         self._since_opt = 0
         import numpy as np
         self._last_kf_odom_host = np.asarray(self.state.last_kf_odom)
@@ -518,6 +588,20 @@ class Slam:
         )
         if not due:
             return None
+        # auto-growth: re-pad to the next tier BEFORE slots run out so
+        # add_node never silently drops keyframes (growth recompiles the
+        # steps once per tier — the recompilation-free-within-tier design)
+        if self.auto_grow and self._n_kf_host >= int(0.9 * self.config.node_capacity):
+            import dataclasses as _dc
+            new_cfg = _dc.replace(
+                self.config,
+                node_capacity=self.config.node_capacity * 2,
+                edge_capacity=self.config.edge_capacity * 2,
+            )
+            self.state = grow_state(
+                self.state, new_cfg.node_capacity, new_cfg.edge_capacity
+            )
+            self.config = new_cfg
         kf = Keyframe(image=image, depth=depth, odom_pose=odom_pose,
                       stamp=jnp.asarray(stamp, jnp.float32))
         self.state, info = process_keyframe(
@@ -540,9 +624,11 @@ class Slam:
         self.state, n = scan_reregistration(self.state, self.config, k_targets)
         return n
 
-    def maintain(self):
-        """Merge/eviction timer equivalent (role set by config.scope)."""
-        self.state, info = maintenance_epoch(self.state, self.config)
+    def maintain(self, shipped=None):
+        """Merge/eviction timer equivalent (role set by config.scope).
+        ``shipped``: (N,) ACK mask from the scope protocol — without it a
+        sub-graph evicts unconditionally (standalone window)."""
+        self.state, info = maintenance_epoch(self.state, self.config, shipped)
         return info
 
     def trajectory(self):

@@ -153,3 +153,45 @@ class TestDeltaIntraDedup:
         glob = gstate.empty_graph(32, 64)
         glob, _ = scope.apply_delta(glob, delta)
         assert int(glob.num_edges) == 5  # 5 odometry edges, dup skipped
+
+
+class TestTridiagPaddingBug:
+    def test_nonpow2_last_U_ignored(self):
+        """U[n-1] must be ignored for ANY n (the old code only zeroed the
+        padded last index, letting U[n-1] couple into the padding)."""
+        from uzliti_slam_tpu.graph import tridiag
+        n = 5
+        k = jax.random.PRNGKey(0)
+        Ah = jax.random.normal(k, (n, 6, 6)) * 0.3
+        D = jnp.einsum("nij,nkj->nik", Ah, Ah) + 4.0 * jnp.eye(6)
+        U = jax.random.normal(jax.random.PRNGKey(1), (n, 6, 6)) * 0.3  # U[4] != 0
+        b = jax.random.normal(jax.random.PRNGKey(2), (n, 6))
+        x = tridiag.block_tridiag_solve(D, U, b)
+        x_ref = tridiag.block_tridiag_solve(D, U.at[n - 1].set(0.0), b)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+
+    def test_factor_apply_matches_solve(self):
+        from uzliti_slam_tpu.graph import tridiag
+        n = 13
+        k = jax.random.PRNGKey(3)
+        Ah = jax.random.normal(k, (n, 6, 6)) * 0.3
+        D = jnp.einsum("nij,nkj->nik", Ah, Ah) + 4.0 * jnp.eye(6)
+        U = (jax.random.normal(jax.random.PRNGKey(4), (n, 6, 6)) * 0.3).at[n - 1].set(0.0)
+        fac = tridiag.block_tridiag_factor(D, U)
+        for seed in (5, 6):
+            b = jax.random.normal(jax.random.PRNGKey(seed), (n, 6))
+            np.testing.assert_allclose(
+                np.asarray(tridiag.block_tridiag_apply(fac, b)),
+                np.asarray(tridiag.block_tridiag_solve(D, U, b)),
+                atol=1e-5,
+            )
+
+
+class TestDetectExactK:
+    def test_k_contract_any_levels(self):
+        from uzliti_slam_tpu.ops import features
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (128, 160)).astype(np.float32))
+        for k, lv in [(50, 4), (100, 3), (17, 4)]:
+            kps, desc = features.detect_and_describe(img, max_keypoints=k, n_levels=lv)
+            assert desc.shape == (k, 32)
+            assert kps.uv.shape == (k, 2)

@@ -187,7 +187,11 @@ def _block_jacobi_inverse(Hblocks: jax.Array, damp: jax.Array, free: jax.Array) 
     # Cholesky-based inverse of SPD 6x6 blocks (batched).
     chol = jax.vmap(jnp.linalg.cholesky)(safe)
     inv = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(chol)
-    inv = jnp.where(jnp.isfinite(inv), inv, eye)
+    # Per-BLOCK fallback: a partially non-finite inverse (failed pivot)
+    # must degrade to identity wholesale — element-wise patching would
+    # yield an asymmetric, possibly indefinite preconditioner block.
+    block_ok = jnp.all(jnp.isfinite(inv), axis=(-2, -1), keepdims=True)
+    inv = jnp.where(block_ok, inv, eye)
     return jnp.where(free[:, None, None], inv, eye)
 
 
@@ -266,7 +270,9 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
                 Hblocks + jax.vmap(jnp.diag)(damp),
                 eye,
             )
-            apply_minv = lambda r: tridiag.block_tridiag_solve(Dm, U, r)
+            # factor ONCE per linearization; CG iterations only substitute
+            chain_factor = tridiag.block_tridiag_factor(Dm, U)
+            apply_minv = lambda r: tridiag.block_tridiag_apply(chain_factor, r)
         else:
             Minv = _block_jacobi_inverse(Hblocks, damp, free)
             apply_minv = lambda r: jnp.einsum("nij,nj->ni", Minv, r, precision=_PREC)

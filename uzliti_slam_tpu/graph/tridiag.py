@@ -52,56 +52,70 @@ def _pad_pow2(D, U, b):
     return D, U, b, n
 
 
-def block_tridiag_solve(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A x = b for symmetric block-tridiagonal A.
+def block_tridiag_factor(D: jax.Array, U: jax.Array):
+    """Cyclic-reduction 'factorization' of a symmetric block-tridiagonal A.
 
     D: (n, 6, 6) diagonal blocks; U: (n, 6, 6) with U[i] = A[i, i+1]
-    (U[n-1] ignored/zero); b: (n, 6). Returns x (n, 6).
+    (U[n-1] is explicitly zeroed — for any n, not just the padded size).
+    Returns an opaque factor object for ``block_tridiag_apply`` so the
+    matrix-dependent work (per-level 6x6 inverses + Schur products) runs
+    ONCE per linearization, while each CG iteration only does the cheap
+    b-dependent forward/back substitutions.
     """
-    D, U, b, n_orig = _pad_pow2(D, U, b)
-    n = D.shape[0]
-    U = U.at[n - 1].set(jnp.zeros((6, 6), D.dtype))
+    n_orig = D.shape[0]
+    U = U.at[n_orig - 1].set(jnp.zeros((6, 6), D.dtype))
+    b0 = jnp.zeros((n_orig, 6), D.dtype)
+    D, U, _, _ = _pad_pow2(D, U, b0)
 
-    def reduce_level(D, U, b):
-        m = D.shape[0]
-        De, Do = D[0::2], D[1::2]
-        be, bo = b[0::2], b[1::2]
-        Ueo = U[0::2]          # couples even j -> odd j+1
-        Uoe = U[1::2]          # couples odd j+1 -> even j+2
+    levels = []
+    Dk, Uk = D, U
+    while Dk.shape[0] > 1:
+        De, Do = Dk[0::2], Dk[1::2]
+        Ueo = Uk[0::2]          # couples even j -> odd j+1
+        Uoe = Uk[1::2]          # couples odd j+1 -> even j+2
         Dinv_o = _inv6(Do)
-        # left-shifted odd quantities (for the j-1 neighbour of even j)
         Uoe_m = jnp.roll(Uoe, 1, axis=0).at[0].set(0.0)
-        bo_m = jnp.roll(bo, 1, axis=0).at[0].set(0.0)
         Dinv_om = jnp.roll(Dinv_o, 1, axis=0).at[0].set(jnp.eye(6, dtype=D.dtype))
 
         t1 = jnp.einsum("nji,njk,nkl->nil", Uoe_m, Dinv_om, Uoe_m, precision=_PREC)
         t2 = jnp.einsum("nij,njk,nlk->nil", Ueo, Dinv_o, Ueo, precision=_PREC)
         newD = De - t1 - t2
-        newb = (
+        newU = -jnp.einsum("nij,njk,nkl->nil", Ueo, Dinv_o, Uoe, precision=_PREC)
+        newU = newU.at[-1].set(0.0)
+        levels.append((Dinv_o, Ueo, Uoe))
+        Dk, Uk = newD, newU
+
+    root_inv = _inv6(Dk)
+    return (levels, root_inv, n_orig)
+
+
+def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
+    """Solve A x = b using a ``block_tridiag_factor`` result."""
+    levels, root_inv, n_orig = factor
+    n2 = 1 << max((n_orig - 1).bit_length(), 0)
+    if n2 != n_orig:
+        b = jnp.concatenate([b, jnp.zeros((n2 - n_orig, 6), b.dtype)])
+
+    # forward: reduce b through the levels, remembering per-level odd parts
+    b_levels = []
+    bk = b
+    for Dinv_o, Ueo, Uoe in levels:
+        be, bo = bk[0::2], bk[1::2]
+        Uoe_m = jnp.roll(Uoe, 1, axis=0).at[0].set(0.0)
+        Dinv_om = jnp.roll(Dinv_o, 1, axis=0).at[0].set(jnp.eye(6, dtype=b.dtype))
+        bo_m = jnp.roll(bo, 1, axis=0).at[0].set(0.0)
+        b_levels.append(bo)
+        bk = (
             be
             - jnp.einsum("nji,njk,nk->ni", Uoe_m, Dinv_om, bo_m, precision=_PREC)
             - jnp.einsum("nij,njk,nk->ni", Ueo, Dinv_o, bo, precision=_PREC)
         )
-        newU = -jnp.einsum("nij,njk,nkl->nil", Ueo, Dinv_o, Uoe, precision=_PREC)
-        newU = newU.at[-1].set(0.0)
-        return newD, newU, newb, Dinv_o
 
-    # forward reduction, caching per-level inverses for back-substitution
-    levels = []
-    Dk, Uk, bk = D, U, b
-    while Dk.shape[0] > 1:
-        newD, newU, newb, Dinv_o = reduce_level(Dk, Uk, bk)
-        levels.append((Dinv_o, Uk, bk))
-        Dk, Uk, bk = newD, newU, newb
+    x = jnp.einsum("nij,nj->ni", root_inv, bk, precision=_PREC)
 
-    x = jnp.einsum("nij,nj->ni", _inv6(Dk), bk, precision=_PREC)  # single block
-
-    for Dinv_o, Uk, bk in reversed(levels):
-        m = Uk.shape[0]
-        bo = bk[1::2]
-        Ueo = Uk[0::2]
-        Uoe = Uk[1::2]
-        x_e = x                                   # (m/2, 6) even solutions
+    for (Dinv_o, Ueo, Uoe), bo in zip(reversed(levels), reversed(b_levels)):
+        m = 2 * Ueo.shape[0]
+        x_e = x
         x_e_next = jnp.roll(x_e, -1, axis=0).at[-1].set(0.0)
         rhs = (
             bo
@@ -112,6 +126,11 @@ def block_tridiag_solve(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
         x = jnp.stack([x_e, x_o], axis=1).reshape(m, 6)
 
     return x[:n_orig]
+
+
+def block_tridiag_solve(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
+    """One-shot solve A x = b (factor + apply)."""
+    return block_tridiag_apply(block_tridiag_factor(D, U), b)
 
 
 def chain_offdiag_blocks(g, Ji, Jj, W, free) -> jax.Array:

@@ -79,11 +79,13 @@ def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     score_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
     score = jnp.maximum(score_b, score_d)
 
-    # suppress borders (circle + descriptor patch radius)
+    # suppress borders: the rotated BRIEF pattern reaches 13·√2 ≈ 18.4 px
+    # plus the blur radius, so anything closer would sample (extrapolate)
+    # outside the image
     h, w = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    b = 16
+    b = 21
     interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
     return jnp.where(is_corner & interior, score, 0.0)
 
@@ -234,9 +236,8 @@ def brief_descriptors(
     va = bilinear(sy[..., 0], sx[..., 0])
     vb = bilinear(sy[..., 1], sx[..., 1])
     bits = (va < vb).astype(jnp.uint8)  # (K, 256)
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    packed = bits.reshape(bits.shape[0], -1, 8) << shifts
-    return jnp.sum(packed, axis=-1).astype(jnp.uint8)
+    from uzliti_slam_tpu.ops import matching
+    return matching.pack_bits(bits)  # single LSB-first layout for Hamming
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "grid", "n_levels", "scale_factor"))
@@ -250,8 +251,10 @@ def detect_and_describe(
 ):
     """Full ORB-equivalent pipeline over an image pyramid.
 
-    Returns (Keypoints, descriptors (K, 32) uint8) with K = max_keypoints
-    total across levels (reference default 300 features,
+    Returns (Keypoints, descriptors (K, 32) uint8) with K == max_keypoints
+    EXACTLY (per-level budgets floor-divide and the remainder is padded
+    with invalid slots, so callers can size banks to max_keypoints without
+    divisibility constraints; reference default 300 features,
     ``FeatureExtraction.cfg:11``). Keypoint uv are in level-0 pixels.
     """
     img = img.astype(jnp.float32)
@@ -283,6 +286,18 @@ def detect_and_describe(
 
     kps = Keypoints(*[jnp.concatenate([getattr(k, f) for k in all_kp]) for f in Keypoints._fields])
     desc = jnp.concatenate(all_desc)
+    # honor the K == max_keypoints contract exactly: pad the remainder
+    # (max_keypoints % n_levels) with invalid slots
+    short = max_keypoints - desc.shape[0]
+    if short > 0:
+        kps = Keypoints(
+            uv=jnp.concatenate([kps.uv, jnp.zeros((short, 2))]),
+            response=jnp.concatenate([kps.response, jnp.zeros(short)]),
+            angle=jnp.concatenate([kps.angle, jnp.zeros(short)]),
+            scale=jnp.concatenate([kps.scale, jnp.ones(short)]),
+            valid=jnp.concatenate([kps.valid, jnp.zeros(short, dtype=bool)]),
+        )
+        desc = jnp.concatenate([desc, jnp.zeros((short, 32), dtype=jnp.uint8)])
     return kps, desc
 
 

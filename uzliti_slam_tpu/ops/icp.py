@@ -37,9 +37,28 @@ def _se2_apply(p: jax.Array, pts: jax.Array) -> jax.Array:
     return jnp.stack([x, y], axis=-1)
 
 
-def _se2_compose(a: jax.Array, b: jax.Array) -> jax.Array:
-    t = _se2_apply(a, b[None, :2])[0]
-    return jnp.array([t[0], t[1], a[2] + b[2]])
+def _correspondences(pose, src, src_valid, dst, dst_valid, max_corr_dist):
+    """Point-to-line correspondences under ``pose``: returns (moved, normal,
+    signed line distance r, weight). A correspondence needs TWO valid dst
+    points (the line endpoints) within range — a line through a padded
+    invalid point would have an arbitrary normal."""
+    moved = _se2_apply(pose, src)                       # (M, 2)
+    d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, 2)
+    p1 = dst[idx[:, 0]]
+    p2 = dst[idx[:, 1]]
+    seg = p2 - p1
+    seg_len = jnp.maximum(jnp.linalg.norm(seg, axis=-1), 1e-9)
+    normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=-1) / seg_len[:, None]
+    r = jnp.sum((moved - p1) * normal, axis=-1)
+    w = (
+        src_valid
+        & (-neg[:, 0] < max_corr_dist**2)
+        & jnp.isfinite(-neg[:, 0])
+        & jnp.isfinite(-neg[:, 1])
+    ).astype(jnp.float32)
+    return moved, normal, r, w
 
 
 def icp_point_to_line(
@@ -61,27 +80,10 @@ def icp_point_to_line(
     (``laser_transformation_estimator.cpp:383-386``) and total correction
     bounded (``:162-167``).
     """
-    m = src.shape[0]
-
     def iteration(pose, _):
-        moved = _se2_apply(pose, src)                       # (M, 2)
-        d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
-        d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
-        # two nearest dst points define the local line
-        neg, idx = jax.lax.top_k(-d2, 2)
-        p1 = dst[idx[:, 0]]
-        p2 = dst[idx[:, 1]]
-        seg = p2 - p1
-        seg_len = jnp.maximum(jnp.linalg.norm(seg, axis=-1), 1e-9)
-        normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=-1) / seg_len[:, None]
-        r = jnp.sum((moved - p1) * normal, axis=-1)         # signed line dist
-
-        w = (
-            src_valid
-            & (-neg[:, 0] < max_corr_dist**2)
-            & jnp.isfinite(-neg[:, 0])
-        ).astype(jnp.float32)
-
+        moved, normal, r, w = _correspondences(
+            pose, src, src_valid, dst, dst_valid, max_corr_dist
+        )
         # J_i = [n_x, n_y, n · d(moved)/dθ]
         dth = jnp.stack([-moved[:, 1] + pose[1], moved[:, 0] - pose[0]], axis=-1)
         J = jnp.concatenate([normal, jnp.sum(normal * dth, axis=-1, keepdims=True)], axis=-1)
@@ -94,18 +96,9 @@ def icp_point_to_line(
     pose, _ = jax.lax.scan(iteration, init, None, length=iterations)
 
     # final correspondence audit (reference recount, ``:180-207``)
-    moved = _se2_apply(pose, src)
-    d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
-    d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, 2)
-    p1 = dst[idx[:, 0]]
-    p2 = dst[idx[:, 1]]
-    seg = p2 - p1
-    seg_len = jnp.maximum(jnp.linalg.norm(seg, axis=-1), 1e-9)
-    normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=-1) / seg_len[:, None]
-    r = jnp.sum((moved - p1) * normal, axis=-1)
-    good = src_valid & (-neg[:, 0] < max_corr_dist**2)
-    nw = good.astype(jnp.float32)
+    moved, normal, r, nw = _correspondences(
+        pose, src, src_valid, dst, dst_valid, max_corr_dist
+    )
     n_good = jnp.sum(nw)
     n_src = jnp.maximum(jnp.sum(src_valid), 1)
     valid_fraction = n_good / n_src

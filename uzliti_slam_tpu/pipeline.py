@@ -74,8 +74,9 @@ def init_state(config: SlamConfig, seed: int = 0) -> SlamState:
 
 
 def _feat_count(config: SlamConfig) -> int:
-    lv = config.frontend.pyramid_levels
-    return max(config.feats_per_node // lv, 1) * lv
+    # detect_and_describe honors K == max_keypoints exactly (padding the
+    # per-level remainder), so the bank size is simply the budget
+    return config.feats_per_node
 
 
 # ---------------------------------------------------------------------------

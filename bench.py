@@ -100,9 +100,9 @@ def main():
     details["solve_10k_solves_per_sec"] = round(1.0 / t, 3)
     details["solve_10k_chi2"] = round(chi2, 2)
 
-    t = bench_batched_instances(1024, 64, 5, reps=3)
-    details["batched_1024x64n_ms"] = round(1e3 * t, 2)
-    details["batched_instance_solves_per_sec"] = round(1024 / t, 0)
+    t = bench_batched_instances(4096, 64, 5, reps=3)
+    details["batched_4096x64n_ms"] = round(1e3 * t, 2)
+    details["batched_instance_solves_per_sec"] = round(4096 / t, 0)
 
     t = bench_keyframe_pipeline(reps=10)
     details["keyframe_vga_ms"] = round(1e3 * t, 2)

@@ -195,3 +195,51 @@ class TestDetectExactK:
             kps, desc = features.detect_and_describe(img, max_keypoints=k, n_levels=lv)
             assert desc.shape == (k, 32)
             assert kps.uv.shape == (k, 2)
+
+
+class TestThirdBatchFixes:
+    def test_pnp_dlt_clean_scenes(self):
+        """DLT must recover pose on clean 6-point scenes (was ~35% failure
+        from the SVD sign / reflection bug)."""
+        from uzliti_slam_tpu.ops import pnp
+        fails = 0
+        total = 0
+        for seed in range(20):
+            k = jax.random.PRNGKey(seed)
+            k1, k2, k3 = jax.random.split(k, 3)
+            tp = lie.se3_exp(0.3 * jax.random.normal(k1, (6,)))
+            X = jnp.concatenate(
+                [jax.random.uniform(k2, (6, 2), minval=-2, maxval=2),
+                 jax.random.uniform(k3, (6, 1), minval=3.0, maxval=8.0)], -1)
+            Xc = lie.pose_apply(tp[None], X)
+            if float(Xc[:, 2].min()) < 0.2:
+                continue
+            total += 1
+            xn = Xc[:, :2] / Xc[:, 2:3]
+            est = pnp._dlt_pose(X, xn, jnp.ones(6))
+            if float(jnp.abs(pnp._project_norm(est, X) - xn).max()) > 1e-3:
+                fails += 1
+        assert fails == 0 and total >= 10
+
+    def test_occupancy_beyond_max_range_frees(self):
+        from uzliti_slam_tpu.mapping import occupancy
+        cfg = occupancy.GridConfig(size=128, resolution=0.1, max_range=4.0)
+        g = gstate.empty_graph(8, 8)
+        p = lie.pose_identity()
+        g, _ = gstate.add_node(g, p, p, jnp.asarray(0.0))
+        bins = 180
+        ang = np.pi * (2 * (np.arange(bins) + 0.5) / bins - 1)
+        ranges = np.full(bins, np.inf, np.float32)
+        fwd = np.argmin(np.abs(ang))
+        ranges[fwd] = 8.0  # beyond max_range: frees to 4 m, no endpoint
+        scans = jnp.zeros((8, bins)).at[0].set(jnp.asarray(ranges))
+        sv = jnp.zeros(8, bool).at[0].set(True)
+        grid = occupancy.project(occupancy.grid_init(g, cfg), g, scans, sv, cfg)
+        lo = np.asarray(grid.logodds)
+        c2 = int(np.floor((2.0 - float(grid.origin[0])) / cfg.resolution))
+        c5 = int(np.floor((5.0 - float(grid.origin[0])) / cfg.resolution))
+        r0 = int(np.floor((0.0 - float(grid.origin[1])) / cfg.resolution))
+        rows = slice(r0 - 2, r0 + 3)  # the bin center is slightly off-axis
+        assert lo[rows, c2].min() < 0   # free inside max_range
+        assert np.all(lo[:, c5:] == 0)  # nothing beyond max_range
+        assert lo.max() <= 0.0          # no occupied endpoint anywhere

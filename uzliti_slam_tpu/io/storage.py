@@ -70,9 +70,11 @@ def load_state(path: str, template):
         meta = json.load(f)
     if meta["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version {meta['format_version']}")
-    data = np.load(os.path.join(path, "snapshot.npz"))
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     ordered = []
+    with np.load(os.path.join(path, "snapshot.npz")) as data:
+        arrays = {k: data[k] for k in data.files}
+    data = arrays
     for pathspec, tmpl in flat:
         key = "/".join(
             p.name if hasattr(p, "name") else str(p.idx) if hasattr(p, "idx") else str(p)

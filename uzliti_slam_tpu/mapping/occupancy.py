@@ -80,23 +80,30 @@ def _project_rays(
     px = lie.pose_t(poses)[:, 0:1]
     py = lie.pose_t(poses)[:, 1:2]
 
-    hit = jnp.isfinite(scans) & (scans <= config.max_range)
-    reach = jnp.where(hit, scans, config.max_range)          # (M, B)
+    # A finite return inside max_range marks its endpoint occupied; a
+    # finite return BEYOND max_range still carves free space up to
+    # max_range (the reference ray overlay does the same). Only rays with
+    # no return at all (inf) carry no evidence.
+    has_return = jnp.isfinite(scans)
+    hit = has_return & (scans <= config.max_range)
+    reach = jnp.where(has_return, jnp.minimum(scans, config.max_range), 0.0)
 
     t = (jnp.arange(n_steps) + 0.5) * res                    # (S,)
     # sample points along every ray: (M, B, S)
     sx = px[:, :, None] + jnp.cos(world_ang)[..., None] * t[None, None, :]
     sy = py[:, :, None] + jnp.sin(world_ang)[..., None] * t[None, None, :]
-    # Rays with no return (inf) carry no evidence and are skipped, matching
-    # occupancy_grid_utils' handling of invalid ranges.
     free = (
-        hit[..., None]
+        has_return[..., None]
         & (t[None, None, :] < reach[..., None] - res)
         & mask[:, None, None]
     )
+    # half-open endpoint window: a range on an exact cell boundary must
+    # mark ONE cell, not two
+    dt_end = t[None, None, :] - scans[..., None]
     occ = (
         hit[..., None]
-        & (jnp.abs(t[None, None, :] - reach[..., None]) <= 0.5 * res)
+        & (dt_end >= -0.5 * res)
+        & (dt_end < 0.5 * res)
         & mask[:, None, None]
     )
 
@@ -152,20 +159,46 @@ def project(
         already
         & ((dt > config.drift_dist) | (jnp.degrees(dr) > config.drift_angle_deg))
     )
-    full = drifted | jnp.asarray(force_full)
+    # incremental path rays only a static window of recent slots (a full
+    # (N, B, S) raycast per call would make 'incremental' cost the same
+    # compute/memory as a rebuild); too many new nodes forces a rebuild
+    window = min(64, n)
+    full = (
+        drifted
+        | jnp.asarray(force_full)
+        | (g.num_nodes - grid.last_projected > window)
+    )
 
-    base = jnp.where(full, jnp.zeros_like(grid.logodds), grid.logodds)
-    start = jnp.where(full, 0, grid.last_projected)
-    mask = g.node_valid & scan_valid & (slots >= start)
+    def project_full(_):
+        mask = g.node_valid & scan_valid
+        lo = _project_rays(
+            jnp.zeros_like(grid.logodds), g.pose, scans, mask, grid.origin, config
+        )
+        return _mark_node_cells(lo, g.pose, mask, grid.origin, config)
 
-    lo = _project_rays(base, g.pose, scans, mask, grid.origin, config)
-    lo = _mark_node_cells(lo, g.pose, mask, grid.origin, config)
+    def project_incremental(_):
+        start = jnp.clip(g.num_nodes - window, 0, n - window)
+        p_w = jax.lax.dynamic_slice(g.pose, (start, 0), (window, 7))
+        s_w = jax.lax.dynamic_slice(scans, (start, 0), (window, scans.shape[1]))
+        m_w = (
+            jax.lax.dynamic_slice_in_dim(g.node_valid & scan_valid, start, window)
+            & (start + jnp.arange(window) >= grid.last_projected)
+        )
+        lo = _project_rays(grid.logodds, p_w, s_w, m_w, grid.origin, config)
+        return _mark_node_cells(lo, p_w, m_w, grid.origin, config)
+
+    lo = jax.lax.cond(full, project_full, project_incremental, None)
 
     return OccupancyGrid(
         logodds=lo,
         origin=grid.origin,
         last_projected=jnp.maximum(grid.last_projected, g.num_nodes),
-        ref_poses=jnp.where(mask[:, None] | full, g.pose, grid.ref_poses),
+        # snapshot poses of everything projected so far for the drift check
+        ref_poses=jnp.where(
+            ((slots < jnp.maximum(grid.last_projected, g.num_nodes))
+             & g.node_valid)[:, None] | full,
+            g.pose, grid.ref_poses,
+        ),
     )
 
 

@@ -31,8 +31,9 @@ class Metrics:
 
     @contextlib.contextmanager
     def stage(self, name: str):
-        """Host wall-clock span; blocks on device completion so on-device
-        time is attributed to the stage that launched it."""
+        """Host wall-clock span. NOTE: does not synchronize devices — for
+        async-dispatched jax work, block inside the span (e.g.
+        ``jax.block_until_ready``) if device time should be attributed."""
         t0 = time.perf_counter()
         try:
             yield

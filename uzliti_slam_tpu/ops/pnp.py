@@ -40,19 +40,18 @@ def _dlt_pose(X: jax.Array, xn: jax.Array, w: jax.Array) -> jax.Array:
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2n, 12)
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     M = vt[-1].reshape(3, 4)
-    R_raw = M[:, :3]
-    # scale so that R is a rotation; fix sign by det and cheirality
-    u, s, vtr = jnp.linalg.svd(R_raw)
-    det = jnp.linalg.det(u @ vtr)
-    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, det])) @ vtr
-    scale = jnp.sum(s) / 3.0
-    t = M[:, 3] / jnp.where(scale == 0, 1.0, scale) * det
-    R = R  # det folded into last column sign
-    # cheirality: majority of points must land in front (z > 0)
-    z = (X @ R.T + t)[:, 2]
-    flip = jnp.sum(jnp.where(w > 0, jnp.sign(z), 0.0)) < 0
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
+    # The DLT solution has an arbitrary sign (±λM project identically);
+    # fold it into the WHOLE matrix via det(M[:,:3]) so the subsequent
+    # orthonormalization lands on a proper rotation with a consistent t —
+    # patching R and t separately produces reflections / mismatched pairs.
+    det_raw = jnp.linalg.det(M[:, :3])
+    M = M * jnp.where(det_raw < 0, -1.0, 1.0)
+    u, s, vtr = jnp.linalg.svd(M[:, :3])
+    R = u @ vtr                      # det=+1 since det(M[:,:3]) > 0
+    scale = jnp.maximum(jnp.sum(s) / 3.0, 1e-12)
+    t = M[:, 3] / scale
+    # Hypotheses that put the scene behind the camera are killed by the
+    # cheirality mask in consensus scoring — no ad-hoc flip here.
     return lie.make_pose(t, lie.matrix_to_quat(R))
 
 
@@ -86,10 +85,13 @@ def pnp_ransac(
     f_mean = 0.5 * (fx + fy)
     thresh_n = reproj_thresh_px / f_mean       # px -> normalized units
 
-    # sample only among valid correspondences (categorical over the mask)
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    samples = jax.random.categorical(key, logits[None, None, :],
-                                     shape=(n_hypotheses, 6))
+    # sample 6 DISTINCT indices among valid correspondences per hypothesis
+    # (with-replacement draws give rank-deficient DLT systems ~40% of the
+    # time at moderate m): random keys + top-k = uniform sampling without
+    # replacement over the valid set
+    scores = jax.random.uniform(key, (n_hypotheses, m))
+    scores = jnp.where(valid[None, :], scores, -1e9)
+    _, samples = jax.lax.top_k(scores, 6)
 
     def fit_one(idx6):
         w = valid[idx6].astype(jnp.float32)
@@ -122,7 +124,8 @@ def pnp_ransac(
     pose, _ = jax.lax.scan(gn_step, pose, None, length=refine_iters)
 
     err2_f = jnp.sum((_project_norm(pose, X) - xn) ** 2, axis=-1)
-    inl_f = (err2_f < thresh_n**2) & valid
+    front_f = lie.pose_apply(pose[None], X)[:, 2] > 0.05
+    inl_f = (err2_f < thresh_n**2) & valid & front_f
     consensus = jnp.sum(inl_f)
     mse_px = (
         jnp.sum(jnp.where(inl_f, err2_f, 0.0)) / jnp.maximum(consensus, 1)

@@ -228,7 +228,17 @@ def repository_add(
     nn_idx = jnp.argmin(d, axis=-1)
 
     is_match = (nn_dist <= match_thresh) & desc_valid
-    is_new = (~is_match) & desc_valid
+    # near-duplicates WITHIN this frame (repetitive texture) must not each
+    # append a fresh "unique" descriptor — keep only the first instance
+    d_self = matching.hamming_matrix(qbits, qbits)
+    f = desc.shape[0]
+    earlier_dup = (
+        (d_self <= match_thresh)
+        & desc_valid[None, :]
+        & (jnp.arange(f)[None, :] < jnp.arange(f)[:, None])
+    )
+    in_frame_dup = jnp.any(earlier_dup, axis=-1)
+    is_new = (~is_match) & desc_valid & ~in_frame_dup
 
     # Append novel descriptors at sequential slots.
     new_rank = jnp.cumsum(is_new) - 1

@@ -48,16 +48,24 @@ class SlamService:
         self.lock = threading.Lock()
 
     def add_frame(self, image, depth, odom_pose, stamp):
-        with self.lock, self.metrics.stage("frontend"):
-            info = self.slam.add_frame(image, depth, odom_pose, stamp)
-        self.metrics.count("frames")
-        if info is not None:
-            self.metrics.count("keyframes")
+        import jax
+        with self.lock:
+            with self.metrics.stage("frontend"):
+                info = self.slam.add_frame(image, depth, odom_pose, stamp)
+                # block so the stage timing covers device compute, not
+                # just async dispatch
+                jax.block_until_ready(self.slam.state.graph.pose)
+            self.metrics.count("frames")
+            if info is not None:
+                self.metrics.count("keyframes")
         return info
 
     def optimize(self):
-        with self.lock, self.metrics.stage("optimization"):
-            stats = self.slam.optimize()
+        import jax
+        with self.lock:
+            with self.metrics.stage("optimization"):
+                stats = self.slam.optimize()
+                jax.block_until_ready(self.slam.state.graph.pose)
         return stats
 
     def trajectory(self):
@@ -82,7 +90,9 @@ class SlamService:
                 "n_edges": int(g.num_edges),
                 "n_valid_nodes": int(np.asarray(g.node_valid).sum()),
             }
-        out.update(self.metrics.summary())
+            # metrics mutate under the same lock; summarize inside it so a
+            # concurrent first-use insert can't resize dicts mid-iteration
+            out.update(self.metrics.summary())
         return out
 
     def checkpoint(self, path: str):

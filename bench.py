@@ -70,6 +70,12 @@ def bench_keyframe_pipeline(reps=10):
     )
     world = simulator.WallWorld(img_h=480, img_w=640, f=525.0)
     frames = simulator.simulate_sequence(world, n_frames=reps + 3, odom_drift=0.05, length=6.0)
+    # a live robot feeds HOST sensor data; device arrays from the simulator
+    # would force a device->host sync in the keyframe gate every frame
+    frames = [
+        {k: (v if k == "stamp" else np.asarray(v)) for k, v in fr.items()}
+        for fr in frames
+    ]
     slam = pipeline.Slam(cfg, cam=world.cam, cam_pose=simulator.cam_extrinsic())
     slam.optimize_every = 10**9
     for fr in frames[:3]:

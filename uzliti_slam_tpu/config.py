@@ -32,12 +32,22 @@ class FeatureExtractionConfig:
 @dataclasses.dataclass(frozen=True)
 class PlaceRecognitionConfig:
     """Reference PlaceRecognizer.cfg:9-11 + yaml method selection."""
-    method: str = "gist"          # "gist" | "feature_set" | "repository"
+    method: str = "gist"          # "gist" | "feature_set" | "repository" | "bow"
     k_candidates: int = 5          # local_slam.yaml:31
     gist_max_dist: float = 60.0
     feature_hamming_thresh: float = 40.0
     min_similarity: float = 0.2
     min_time_separation: float = 5.0
+    # feature_set: searchable only with enough descriptors
+    # (lsh_set_recognizer.cpp:64,112 — reference gate 150)
+    min_descriptors: int = 50
+    # repository (GlobalFeatureRepository) capacities/gates
+    repo_desc_per_node: int = 32   # unique-descriptor capacity multiplier
+    repo_links_per_desc: int = 8
+    repo_min_votes: int = 5
+    # bow (DBoW2 BinaryBowRecognizer analog)
+    bow_words: int = 256
+    bow_min_score: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

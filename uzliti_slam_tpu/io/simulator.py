@@ -90,8 +90,10 @@ class WallWorld:
             + self.tex[t1v, t0u] * (1 - fu) * fv
             + self.tex[t1v, t1u] * fu * fv
         )
-        depth = np.full((h, w), z, dtype=np.float32)
-        return img.astype(np.float32), depth
+        # native Kinect wire format: uint8 mono image, uint16 depth in mm
+        # (pipeline converts on device; transfers stay 4x smaller than f32)
+        depth = np.full((h, w), round(z * 1000.0), dtype=np.uint16)
+        return np.clip(img, 0, 255).astype(np.uint8), depth
 
 
 def out_and_back_trajectory(n: int, length: float = 6.0):
@@ -139,9 +141,12 @@ def simulate_sequence(
         )
         frames.append(
             dict(
-                image=jnp.asarray(img),
-                depth=jnp.asarray(dep),
-                odom_pose=odom_pose,
+                # host (numpy) arrays, like a live sensor feed — device
+                # arrays here would force a device->host sync in the
+                # host-side keyframe gate on every frame
+                image=img,
+                depth=dep,
+                odom_pose=np.asarray(odom_pose),
                 gt_pose=gt_pose,
                 stamp=float(i),
             )

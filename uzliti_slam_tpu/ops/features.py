@@ -141,18 +141,15 @@ def select_topk_grid(
 
 
 def _sep_blur(img: jax.Array, radius: int = 2) -> jax.Array:
-    """Separable box blur (descriptor pre-smoothing, as ORB's GaussianBlur)."""
+    """Separable box blur (descriptor pre-smoothing, as ORB's GaussianBlur).
+
+    reduce_window additions instead of 1-channel convolutions — single-
+    channel NCHW convs hit a slow path on TPU, a windowed sum stays on the
+    VPU."""
     k = 2 * radius + 1
-    ker = jnp.ones((k,), dtype=img.dtype) / k
-    out = jax.lax.conv_general_dilated(
-        img[None, None], ker[None, None, None, :], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    out = jax.lax.conv_general_dilated(
-        out[None, None], ker[None, None, :, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return out
+    s = jax.lax.reduce_window(img, 0.0, jax.lax.add, (1, k), (1, 1), "SAME")
+    s = jax.lax.reduce_window(s, 0.0, jax.lax.add, (k, 1), (1, 1), "SAME")
+    return s * (1.0 / (k * k))
 
 
 def intensity_centroid_angles(img: jax.Array, uv: jax.Array, radius: int = 7) -> jax.Array:
@@ -217,24 +214,15 @@ def brief_descriptors(
     sx = uv[:, None, None, 0] + rx
     sy = uv[:, None, None, 1] + ry
 
-    def bilinear(ys, xs):
-        x0 = jnp.clip(jnp.floor(xs), 0, w - 2)
-        y0 = jnp.clip(jnp.floor(ys), 0, h - 2)
-        xf = xs - x0
-        yf = ys - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        v00 = sm[y0i, x0i]
-        v01 = sm[y0i, x0i + 1]
-        v10 = sm[y0i + 1, x0i]
-        v11 = sm[y0i + 1, x0i + 1]
-        return (
-            v00 * (1 - xf) * (1 - yf) + v01 * xf * (1 - yf)
-            + v10 * (1 - xf) * yf + v11 * xf * yf
-        )
+    def sample(ys, xs):
+        # nearest-pixel sampling on the smoothed image, as ORB's
+        # GET_VALUE(cvRound) — one gather instead of four
+        xi = jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32)
+        return sm[yi, xi]
 
-    va = bilinear(sy[..., 0], sx[..., 0])
-    vb = bilinear(sy[..., 1], sx[..., 1])
+    va = sample(sy[..., 0], sx[..., 0])
+    vb = sample(sy[..., 1], sx[..., 1])
     bits = (va < vb).astype(jnp.uint8)  # (K, 256)
     from uzliti_slam_tpu.ops import matching
     return matching.pack_bits(bits)  # single LSB-first layout for Hamming

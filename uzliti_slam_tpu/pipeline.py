@@ -33,6 +33,7 @@ from uzliti_slam_tpu.ops import depth as depth_ops
 from uzliti_slam_tpu.ops import features, icp, lie, matching, ransac
 from uzliti_slam_tpu.ops import scan as scan_ops
 from uzliti_slam_tpu.recognition import recognizer as rec
+from uzliti_slam_tpu.recognition import vocabulary as voc
 
 
 class Keyframe(NamedTuple):
@@ -53,12 +54,33 @@ class SlamState(NamedTuple):
     last_kf_odom: jax.Array  # (7,) odometry pose at last keyframe
     prng: jax.Array
     n_keyframes: jax.Array  # () int32
+    # method-specific recognition state (None unless selected by
+    # config.recognition.method — the reference's place_recognition_method)
+    repo: rec.FeatureRepository | None = None
+    bow: "voc.BowBank | None" = None
+    vocab: "voc.Vocabulary | None" = None
 
 
-def init_state(config: SlamConfig, seed: int = 0) -> SlamState:
+def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
     n = config.node_capacity
     f = _feat_count(config)
     b = config.scan_bins
+    rc = config.recognition
+    repo = bow = None
+    if rc.method == "repository":
+        repo = rec.repository_init(n * rc.repo_desc_per_node, rc.repo_links_per_desc, n)
+    if rc.method == "bow":
+        if vocabulary is None:
+            raise ValueError(
+                "method='bow' needs a trained vocabulary "
+                "(recognition.vocabulary.build_vocabulary)"
+            )
+        if vocabulary.centers.shape[0] != rc.bow_words:
+            raise ValueError(
+                f"vocabulary has {vocabulary.centers.shape[0]} words, "
+                f"config.recognition.bow_words={rc.bow_words}"
+            )
+        bow = voc.bow_bank_init(n, rc.bow_words)
     return SlamState(
         graph=gstate.empty_graph(n, config.edge_capacity),
         gist=rec.gist_bank_init(n),
@@ -70,6 +92,9 @@ def init_state(config: SlamConfig, seed: int = 0) -> SlamState:
         last_kf_odom=lie.pose_identity(),
         prng=jax.random.PRNGKey(seed),
         n_keyframes=jnp.zeros((), dtype=jnp.int32),
+        repo=repo,
+        bow=bow,
+        vocab=vocabulary if rc.method == "bow" else None,
     )
 
 
@@ -83,8 +108,7 @@ def _feat_count(config: SlamConfig) -> int:
 # Keyframe step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
-def process_keyframe(
+def _keyframe_body(
     state: SlamState,
     kf: Keyframe,
     cam: cam_mod.PinholeCamera,
@@ -108,9 +132,16 @@ def process_keyframe(
     g = state.graph
     prng, k_ransac = jax.random.split(state.prng)
 
-    # --- normalize to a camera axis ---
+    # --- normalize to a camera axis; accept native sensor dtypes (uint8
+    # mono images, uint16 millimeter depth — the Kinect wire format) so
+    # host->device transfers stay 4x smaller than float32 ---
     imgs = kf.image if kf.image.ndim == 3 else kf.image[None]
     deps = kf.depth if kf.depth.ndim == 3 else kf.depth[None]
+    imgs = imgs.astype(jnp.float32)
+    if jnp.issubdtype(deps.dtype, jnp.integer):
+        deps = deps.astype(jnp.float32) * 0.001  # mm -> m
+    else:
+        deps = deps.astype(jnp.float32)
     cam_poses = cam_pose if cam_pose.ndim == 2 else cam_pose[None]
     n_cams = imgs.shape[0]
     k_per_cam = _feat_count(config) // n_cams
@@ -178,11 +209,44 @@ def process_keyframe(
     prev_slot_safe = jnp.maximum(prev_slot, 0)
 
     # --- place-recognition + distance candidates BEFORE inserting the node
+    # (method selection = the reference's place_recognition_method yaml
+    # param; static config -> a single retrieval path is compiled)
     k = rc.k_candidates
-    pr_slots, pr_dist, pr_ok = rec.gist_query(
-        state.gist, gist, kf.stamp, k=k, max_dist=rc.gist_max_dist,
-        min_dt=rc.min_time_separation,
-    )
+    bow_vec = None
+    if rc.method == "gist":
+        pr_slots, _pr_score, pr_ok = rec.gist_query(
+            state.gist, gist, kf.stamp, k=k, max_dist=rc.gist_max_dist,
+            min_dt=rc.min_time_separation,
+        )
+    elif rc.method == "feature_set":
+        fbank = rec.FeatureSetBank(
+            desc=state.desc,
+            desc_valid=state.desc_valid & g.node_valid[:, None],
+            stamp=g.stamp,
+            valid=g.node_valid
+            & (jnp.sum(state.desc_valid, axis=-1) >= rc.min_descriptors),
+        )
+        pr_slots, _pr_score, pr_ok = rec.feature_set_query(
+            fbank, desc, pts_valid, kf.stamp, k=k,
+            hamming_thresh=rc.feature_hamming_thresh,
+            min_similarity=rc.min_similarity,
+            min_dt=rc.min_time_separation,
+        )
+    elif rc.method == "repository":
+        pr_slots, _pr_score, pr_ok = rec.repository_query(
+            state.repo, desc, pts_valid, kf.stamp, k=k,
+            match_thresh=rc.feature_hamming_thresh,
+            min_votes=rc.repo_min_votes,
+            min_dt=rc.min_time_separation,
+        )
+    elif rc.method == "bow":
+        bow_vec = voc.quantize(state.vocab, desc, pts_valid)
+        pr_slots, _pr_score, pr_ok = voc.bow_query(
+            state.bow, bow_vec, kf.stamp, k=k,
+            min_score=rc.bow_min_score, min_dt=rc.min_time_separation,
+        )
+    else:
+        raise ValueError(f"unknown place_recognition method {rc.method!r}")
     # distance loop closures (graph_slam_node.cpp:273-289): nearest valid
     # nodes within radius, heading within 30°, temporally separated
     d_nodes = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(map_pose)[None], axis=-1)
@@ -316,8 +380,24 @@ def process_keyframe(
     # --- store node data in banks ---
     ns = jnp.maximum(new_slot, 0)
     wrote = new_slot >= 0
+    repo = state.repo
+    if rc.method == "repository":
+        repo = jax.lax.cond(
+            wrote,
+            lambda r: rec.repository_add(
+                r, ns, desc, pts_valid, kf.stamp,
+                match_thresh=rc.feature_hamming_thresh,
+            ),
+            lambda r: r,
+            repo,
+        )
+    bow = state.bow
+    if rc.method == "bow":
+        bow = voc.bow_bank_add(bow, new_slot, bow_vec, kf.stamp)
     state = state._replace(
         graph=g,
+        repo=repo,
+        bow=bow,
         gist=rec.gist_bank_add(state.gist, new_slot, gist, kf.stamp),
         desc=state.desc.at[ns].set(jnp.where(wrote, desc, state.desc[ns])),
         desc_valid=state.desc_valid.at[ns].set(jnp.where(wrote, pts_valid, state.desc_valid[ns])),
@@ -337,6 +417,62 @@ def process_keyframe(
         "n_features": jnp.sum(pts_valid),
     }
     return state, info
+
+
+process_keyframe = partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))(
+    _keyframe_body
+)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def process_frame_chunk(
+    state: SlamState,
+    kfs: Keyframe,
+    cam: cam_mod.PinholeCamera,
+    cam_pose: jax.Array,
+    config: SlamConfig = SlamConfig(),
+) -> tuple[SlamState, dict]:
+    """Ingest a CHUNK of raw frames in one device dispatch.
+
+    ``kfs`` carries a leading time axis T on every field. Each frame runs
+    the on-device keyframe gate (``odomTimerCallback``'s 0.3 m / 10° test,
+    ``graph_slam_node.cpp:161-186``); non-due frames are skipped by
+    ``lax.cond``. This is the TPU-native form of the reference's streaming
+    front-end (P1): one host dispatch per T frames instead of per frame,
+    which matters when per-dispatch latency is high (remote hosts,
+    congested queues). When dispatch is cheap the per-frame path pipelines
+    just as well — prefer ``Slam.add_frame`` there, since ``lax.scan``
+    serializes what the async dispatch queue would otherwise overlap.
+
+    Returns (state, infos) where each info leaf has leading axis T and an
+    extra ``inserted`` (T,) bool mask.
+    """
+    kc = config.keyframe
+
+    def step(st: SlamState, kf: Keyframe):
+        due = (st.n_keyframes == 0) | lifecycle.keyframe_due(
+            st.last_kf_odom, kf.odom_pose,
+            kc.new_node_distance, kc.new_node_angle_deg,
+        )
+
+        def do(st):
+            st2, info = _keyframe_body(st, kf, cam, cam_pose, config)
+            info["inserted"] = jnp.asarray(True)
+            return st2, info
+
+        def skip(st):
+            zero = jnp.zeros((), jnp.int32)
+            return st, {
+                "new_slot": zero - 1,
+                "n_candidates": zero,
+                "n_edges_proposed": zero,
+                "n_features": zero,
+                "inserted": jnp.asarray(False),
+            }
+
+        return jax.lax.cond(due, do, skip, st)
+
+    return jax.lax.scan(step, state, kfs)
 
 
 def _scan_pts(ranges: jax.Array, n_bins: int):
@@ -480,10 +616,21 @@ def maintenance_epoch(
     )
 
     def drop_from_banks(state, dead):
+        repo = state.repo
+        if repo is not None:
+            repo = repo._replace(
+                node_valid=repo.node_valid & ~dead,
+                link_valid=repo.link_valid & ~dead[repo.links],
+            )
+        bow = state.bow
+        if bow is not None:
+            bow = bow._replace(valid=bow.valid & ~dead)
         return state._replace(
             gist=state.gist._replace(valid=state.gist.valid & ~dead),
             scan_valid=state.scan_valid & ~dead,
             desc_valid=state.desc_valid & ~dead[:, None],
+            repo=repo,
+            bow=bow,
         )
 
     n_merged = jnp.zeros((), jnp.int32)
@@ -525,6 +672,19 @@ def grow_state(state: SlamState, node_capacity: int, edge_capacity: int) -> Slam
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, widths, constant_values=fill)
 
+    repo = state.repo
+    if repo is not None:
+        # node-indexed fields grow; the unique-descriptor bank keeps its
+        # capacity (it scales with total features seen, not node slots)
+        repo = repo._replace(
+            node_stamp=pad0(repo.node_stamp),
+            node_valid=pad0(repo.node_valid),
+        )
+    bow = state.bow
+    if bow is not None:
+        bow = voc.BowBank(
+            vec=pad0(bow.vec), stamp=pad0(bow.stamp), valid=pad0(bow.valid)
+        )
     return state._replace(
         graph=g,
         gist=rec.GistBank(
@@ -537,6 +697,8 @@ def grow_state(state: SlamState, node_capacity: int, edge_capacity: int) -> Slam
         points=pad0(state.points),
         scans=pad0(state.scans, fill=jnp.inf),
         scan_valid=pad0(state.scan_valid),
+        repo=repo,
+        bow=bow,
     )
 
 
@@ -560,11 +722,11 @@ class Slam:
     ``graph_slam_node.cpp:1284-1355``)."""
 
     def __init__(self, config: SlamConfig = SlamConfig(), cam=None,
-                 cam_pose=None, seed: int = 0):
+                 cam_pose=None, seed: int = 0, vocabulary=None):
         self.config = config
         self.cam = cam or cam_mod.default_kinect()
         self.cam_pose = cam_pose if cam_pose is not None else lie.pose_identity()
-        self.state = init_state(config, seed)
+        self.state = init_state(config, seed, vocabulary=vocabulary)
         self.optimize_every = 10
         self.auto_grow = True
         self._since_opt = 0
@@ -614,6 +776,49 @@ class Slam:
         if self._since_opt >= self.optimize_every:
             self.optimize()
         return info
+
+    def add_frames(self, images, depths, odom_poses, stamps) -> dict:
+        """Process a chunk of raw frames in ONE device dispatch
+        (``process_frame_chunk``): the keyframe gate runs on-device, so
+        this accepts the full 30 Hz camera stream and inserts only due
+        keyframes. Leading axis of every argument is time.
+
+        Returns the per-frame info pytree (device arrays; ``inserted`` is
+        the keyframe mask)."""
+        import numpy as np
+
+        t = len(stamps)
+        if self.auto_grow and (
+            self._n_kf_host + t >= int(0.9 * self.config.node_capacity)
+        ):
+            import dataclasses as _dc
+            new_cfg = _dc.replace(
+                self.config,
+                node_capacity=self.config.node_capacity * 2,
+                edge_capacity=self.config.edge_capacity * 2,
+            )
+            self.state = grow_state(
+                self.state, new_cfg.node_capacity, new_cfg.edge_capacity
+            )
+            self.config = new_cfg
+        kfs = Keyframe(
+            image=jnp.asarray(images), depth=jnp.asarray(depths),
+            odom_pose=jnp.asarray(odom_poses),
+            stamp=jnp.asarray(stamps, jnp.float32),
+        )
+        self.state, infos = process_frame_chunk(
+            self.state, kfs, self.cam, self.cam_pose, self.config
+        )
+        inserted = np.asarray(infos["inserted"])
+        n_new = int(inserted.sum())
+        if n_new:
+            last = int(np.nonzero(inserted)[0][-1])
+            self._last_kf_odom_host = np.asarray(odom_poses[last])
+        self._n_kf_host += n_new
+        self._since_opt += n_new
+        if self._since_opt >= self.optimize_every:
+            self.optimize()
+        return infos
 
     def optimize(self):
         self.state, stats = optimize_epoch(self.state, self.config)

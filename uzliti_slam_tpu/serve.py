@@ -134,9 +134,12 @@ def make_handler(service: SlamService):
                 body = self.rfile.read(n)
                 if self.path == "/frame":
                     data = np.load(io.BytesIO(body))
+                    # pass sensor dtypes through unchanged: the pipeline
+                    # treats integer depth as millimeters (Kinect wire
+                    # format), float depth as meters
                     info = service.add_frame(
-                        np.asarray(data["image"], np.float32),
-                        np.asarray(data["depth"], np.float32),
+                        np.asarray(data["image"]),
+                        np.asarray(data["depth"]),
                         np.asarray(data["odom_pose"], np.float32),
                         float(data["stamp"]),
                     )

@@ -42,13 +42,16 @@ class TestScanReregistration:
         ne_after = int(slam.state.graph.num_edges)
         assert n >= 1
         assert ne_after == ne_before + n
-        # new edges are laser type, valid, ending at the newest node
+        # new edges are laser type ending at the newest node, and enter
+        # INVALID until the cluster filter corroborates them (the reference
+        # routes all non-odometry edges through TransformationFilter,
+        # g2o_optimizer.cpp:75-103)
         g = slam.state.graph
         newest = int(g.num_nodes) - 1
         new_edges = range(ne_before, ne_after)
         for e in new_edges:
             assert int(g.e_type[e]) == gstate.EDGE_TYPE_2D_LASER
-            assert bool(g.e_valid[e])
+            assert not bool(g.e_valid[e])
             assert int(g.e_to[e]) == newest
 
     def test_still_optimizes_after(self):

@@ -38,9 +38,10 @@ class PlaceRecognitionConfig:
     feature_hamming_thresh: float = 40.0
     min_similarity: float = 0.2
     min_time_separation: float = 5.0
-    # feature_set: searchable only with enough descriptors
-    # (lsh_set_recognizer.cpp:64,112 — reference gate 150)
-    min_descriptors: int = 50
+    # feature_set: queryable AND searchable only with enough descriptors
+    # (lsh_set_recognizer.cpp:64,112 — reference gate 150 of a 300-feature
+    # budget, i.e. 50%; scaled here to the default feats_per_node=128)
+    min_descriptors: int = 64
     # repository (GlobalFeatureRepository) capacities/gates
     repo_desc_per_node: int = 32   # unique-descriptor capacity multiplier
     repo_links_per_desc: int = 8

@@ -197,6 +197,90 @@ def merge_step(
     return g, jnp.sum(ok)
 
 
+def compact_graph(g: GraphState) -> tuple[GraphState, dict]:
+    """Slot reclamation: permute live nodes/edges to the front so the
+    high-water marks shrink to the live counts and ``add_node``/``add_edge``
+    can reuse freed capacity.
+
+    The reference actually frees map entries on ``removeNode``
+    (``slam_graph.cpp:216-229``) and relies on that for bounded local
+    scopes (eviction, ``graph_slam_node.cpp:619-660``); the SoA analog is
+    periodic compaction — append-only insertion stays O(1) and jit sees
+    only static shapes. Stable order, so the newest node remains the last
+    live slot (``pipeline`` depends on ``num_nodes - 1`` being newest).
+
+    Returns (graph, perm) where perm carries the node/edge permutations for
+    remapping slot-aligned side tables (feature banks, ship/ACK masks):
+
+    - ``node_order`` (N,): old slot stored at each new slot
+    - ``node_inv``   (N,): new slot of each old slot, -1 if dead
+    - ``edge_order`` (E,): old edge slot at each new slot
+    - ``edge_kept``  (E,): whether the edge at new slot survived
+    """
+    n = g.node_capacity
+    e = g.edge_capacity
+    valid = g.node_valid
+    node_order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    n_live = jnp.sum(valid).astype(jnp.int32)
+    pos = jnp.zeros((n,), jnp.int32).at[node_order].set(jnp.arange(n, dtype=jnp.int32))
+    node_inv = jnp.where(valid, pos, -1)
+
+    def nperm(a):
+        return a[node_order]
+
+    # merged_into: old slot -> live old slot; re-express in new slots
+    mi = node_inv[g.merged_into[node_order]]
+    new_idx = jnp.arange(n, dtype=jnp.int32)
+    mi = jnp.where((mi >= 0) & nperm(valid), mi, new_idx)
+
+    # edges: keep in-table edges whose endpoints are both live (dropped
+    # edges include still-invalid pending closures of dead nodes — an
+    # evicted endpoint can never validate them)
+    in_table = jnp.arange(e) < g.num_edges
+    keep = in_table & valid[g.e_from] & valid[g.e_to]
+    edge_order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    e_live = jnp.sum(keep).astype(jnp.int32)
+    kept = keep[edge_order]
+
+    def eperm(a, fill=0):
+        out = a[edge_order]
+        shape_ones = (1,) * (a.ndim - 1)
+        return jnp.where(kept.reshape((-1,) + shape_ones), out, fill)
+
+    ef = jnp.maximum(node_inv[g.e_from[edge_order]], 0)
+    et = jnp.maximum(node_inv[g.e_to[edge_order]], 0)
+    ident = jnp.zeros((7,)).at[3].set(1.0)
+
+    g2 = g._replace(
+        pose=nperm(g.pose),
+        odom_pose=nperm(g.odom_pose),
+        stamp=nperm(g.stamp),
+        uncertainty=nperm(g.uncertainty),
+        node_valid=nperm(valid),
+        node_fixed=nperm(g.node_fixed),
+        merged_into=mi,
+        node_uid=jnp.where(nperm(valid), nperm(g.node_uid), -1),
+        e_from=jnp.where(kept, ef, 0),
+        e_to=jnp.where(kept, et, 0),
+        e_transform=jnp.where(kept[:, None], g.e_transform[edge_order], ident),
+        e_info=eperm(g.e_info),
+        e_type=eperm(g.e_type),
+        e_valid=kept & g.e_valid[edge_order],
+        e_error=eperm(g.e_error),
+        e_age=eperm(g.e_age),
+        e_score=eperm(g.e_score),
+        num_nodes=n_live,
+        num_edges=e_live,
+    )
+    perm = {
+        "node_order": node_order,
+        "node_inv": node_inv,
+        "edge_order": edge_order,
+        "edge_kept": kept,
+    }
+    return g2, perm
+
+
 def ensure_capacity(
     g: GraphState, min_nodes: int, min_edges: int, growth: float = 2.0
 ) -> GraphState:

@@ -149,7 +149,13 @@ def add_edge(
     score: jax.Array | float = 0.0,
     valid: bool | jax.Array = True,
 ) -> tuple[GraphState, jax.Array]:
-    """Append an edge. Returns (graph, slot). Dropped if capacity full."""
+    """Append an edge. Returns (graph, slot). Dropped if capacity full.
+
+    The information matrix is masked by edge type at insertion
+    (``info_for_edge_type``) so partial-constraint semantics — rotation-only
+    / translation-only / GPS / planar edge types — are ENFORCED everywhere
+    downstream (chi2, solve, filter) from one place."""
+    info = info_for_edge_type(jnp.asarray(etype), info)
     slot = g.num_edges
     ok = (slot < g.edge_capacity) & (from_slot >= 0) & (to_slot >= 0)
     idx = jnp.where(ok, slot, 0)
@@ -207,12 +213,15 @@ def info_for_edge_type(etype: jax.Array, base_info: jax.Array) -> jax.Array:
     rot_only = d.at[:3].set(0.0)
     planar = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])  # x, y, yaw
     etype_b = jnp.asarray(etype)[..., None]  # broadcast against the 6-vector masks
+    # NOTE: TYPE_2D_WHEEL_ODOMETRY keeps the FULL 6x6 — the reference's
+    # odometry information model is a full identity-scaled matrix despite
+    # the 2D type tag (graph_slam_node.cpp:316-321); 2D_FULL/2D_LASER are
+    # planar by construction (the laser info already lives in x,y,yaw).
     mask = jnp.select(
         [
             (etype_b == EDGE_TYPE_3D_TRANSLATION) | (etype_b == EDGE_TYPE_3D_GPS),
             etype_b == EDGE_TYPE_3D_ROTATION,
             (etype_b == EDGE_TYPE_2D_FULL)
-            | (etype_b == EDGE_TYPE_2D_WHEEL_ODOMETRY)
             | (etype_b == EDGE_TYPE_2D_LASER),
             etype_b == EDGE_TYPE_2D_ROTATION,
             etype_b == EDGE_TYPE_2D_TRANSLATION,

@@ -136,9 +136,38 @@ class GraphDatabase:
 
     def sync_graph(self, g: gstate.GraphState) -> None:
         """Full write-through of every live entity (storeMetaInformation +
-        per-entity stores, rosbag_storage.cpp:92-105)."""
+        per-entity stores, rosbag_storage.cpp:92-105).
+
+        Also RECONCILES: rows whose node was evicted/merged in memory are
+        deleted (the reference's storage mirrors removeNode,
+        ``slam_graph.cpp:166-174``), and edge rows past the current
+        high-water mark are dropped — otherwise the next ``load_graph``
+        would resurrect entities the in-memory graph no longer has."""
         self.store_nodes(g, np.arange(g.node_capacity))
         self.store_edges(g, np.arange(int(g.num_edges)))
+        valid = np.asarray(g.node_valid)
+        uid = np.asarray(g.node_uid, np.int64)
+        # temp table sidesteps SQLite's bound-parameter limit at 100k nodes
+        self._db.execute(
+            "CREATE TEMP TABLE IF NOT EXISTS live_uids (uid INTEGER PRIMARY KEY)"
+        )
+        self._db.execute("DELETE FROM live_uids")
+        self._db.executemany(
+            "INSERT OR IGNORE INTO live_uids VALUES (?)",
+            [(int(u),) for u in uid[valid]],
+        )
+        self._db.execute(
+            "DELETE FROM nodes WHERE uid NOT IN (SELECT uid FROM live_uids)"
+        )
+        self._db.execute(
+            "DELETE FROM edges WHERE slot >= ?", (int(g.num_edges),)
+        )
+        # persist the high-water marks: uids are minted from num_nodes, so
+        # deriving it from surviving rows on load would reuse issued uids
+        self.store_meta(
+            "counters",
+            np.array([int(g.num_nodes), int(g.num_edges)], np.float64),
+        )
         self.store_meta("diff_transform", np.asarray(g.diff_transform, np.float64))
 
     def remove_node(self, uid: int) -> None:
@@ -233,6 +262,15 @@ class GraphDatabase:
             n_edges += 1
 
         diff = self.load_meta("diff_transform")
+        counters = self.load_meta("counters")
+        # the node high-water mark comes from meta when available: uids are
+        # minted as instance_id*1e6 + num_nodes, so deriving it from the
+        # surviving max slot after the highest-slot node was removed would
+        # reuse already-issued uids. Edges carry no uid and are re-packed to
+        # the front here, so their count is simply the surviving rows.
+        num_nodes = int(counters[0]) if counters is not None else max_slot + 1
+        num_nodes = max(num_nodes, max_slot + 1)
+        num_edges = n_edges
         return g._replace(
             pose=jnp.asarray(pose, g.pose.dtype),
             odom_pose=jnp.asarray(odom, g.odom_pose.dtype),
@@ -251,8 +289,8 @@ class GraphDatabase:
             e_error=jnp.asarray(e_err, g.e_error.dtype),
             e_age=jnp.asarray(e_age, g.e_age.dtype),
             e_score=jnp.asarray(e_score, g.e_score.dtype),
-            num_nodes=jnp.asarray(max_slot + 1, jnp.int32),
-            num_edges=jnp.asarray(n_edges, jnp.int32),
+            num_nodes=jnp.asarray(num_nodes, jnp.int32),
+            num_edges=jnp.asarray(num_edges, jnp.int32),
             diff_transform=(
                 jnp.asarray(diff, g.diff_transform.dtype)
                 if diff is not None else g.diff_transform

@@ -232,6 +232,11 @@ def _keyframe_body(
             min_similarity=rc.min_similarity,
             min_dt=rc.min_time_separation,
         )
+        # the min-descriptor gate applies to the QUERY frame too — the
+        # reference indexes AND searches only nodes with enough descriptors
+        # (lsh_set_recognizer.cpp:64,112), so a sparse frame neither
+        # proposes nor receives candidates
+        pr_ok &= jnp.sum(pts_valid) >= rc.min_descriptors
     elif rc.method == "repository":
         pr_slots, _pr_score, pr_ok = rec.repository_query(
             state.repo, desc, pts_valid, kf.stamp, k=k,
@@ -264,11 +269,15 @@ def _keyframe_body(
 
     cand_slots = jnp.concatenate([pr_slots, dist_slots]).astype(jnp.int32)
     cand_ok = jnp.concatenate([pr_ok, dist_ok])
-    # dedup against existing edges and within the candidate list; only a
-    # VALID earlier duplicate suppresses (top_k padding reuses slot ids of
-    # invalid entries — those must not shadow a genuine later candidate)
+    # dedup against existing edges (by PRESENCE, not validity — closures
+    # enter invalid-until-validated, and a once-proposed pair must not be
+    # re-proposed, the reference's checked_ set) and within the candidate
+    # list; only an OK earlier duplicate suppresses (top_k padding reuses
+    # slot ids of ineligible entries — those must not shadow a genuine
+    # later candidate)
+    edge_present = jnp.arange(g.edge_capacity) < g.num_edges
     cand_ok &= rec.mask_existing_pairs(
-        g.e_from, g.e_to, g.e_valid, cand_slots,
+        g.e_from, g.e_to, edge_present, cand_slots,
         jnp.full_like(cand_slots, g.num_nodes),
     )
     nb = cand_slots.shape[0]
@@ -315,12 +324,15 @@ def _keyframe_body(
     )
 
     # --- insert node ---
+    # uid minted from the monotonic keyframe counter, NOT the slot
+    # high-water mark: compaction shrinks num_nodes, and a reused uid would
+    # alias an already-shipped node in the global graph / database
     g, new_slot = gstate.add_node(
         g, map_pose, kf.odom_pose, kf.stamp,
         uncertainty=jnp.where(
             has_prev, g.uncertainty[prev_slot_safe], 0.0
         ),
-        uid=config.instance_id * 1_000_000 + g.num_nodes,
+        uid=config.instance_id * 1_000_000 + state.n_keyframes,
     )
 
     # odometry edge (graph_slam_node.cpp:327-336)
@@ -344,7 +356,10 @@ def _keyframe_body(
             max_corr_dist=ec.icp_max_corr,
             min_valid_fraction=ec.icp_min_valid_fraction,
         )
-        # ICP aligns current scan into the previous frame: T_prev_cur
+        # ICP aligns current scan into the previous frame: T_prev_cur.
+        # Enters INVALID: like every non-odometry edge it only becomes
+        # active once the cluster filter corroborates it
+        # (g2o_optimizer.cpp:75-103 routes 2D_LASER through the filter too)
         laser_ok = has_prev & ires.ok
         g, _ = gstate.add_edge(
             g,
@@ -353,6 +368,7 @@ def _keyframe_body(
             icp.icp_edge_pose(ires.pose2),
             icp.icp_information_6d(ires.cov3),
             etype=gstate.EDGE_TYPE_2D_LASER,
+            valid=False,
         )
 
     # loop-closure candidate edges: from candidate (old) -> current, transform
@@ -457,7 +473,9 @@ def process_frame_chunk(
 
         def do(st):
             st2, info = _keyframe_body(st, kf, cam, cam_pose, config)
-            info["inserted"] = jnp.asarray(True)
+            # inserted = the node actually landed in a slot; the gate alone
+            # would count keyframes that add_node dropped at full capacity
+            info["inserted"] = info["new_slot"] >= 0
             return st2, info
 
         def skip(st):
@@ -495,12 +513,15 @@ def optimize_epoch(
     g = state.graph
     key, prng = jax.random.split(state.prng)
 
-    # candidate loop closures = feature edges regardless of current
-    # validity, endpoints must be live, and the window follows RECENCY so
-    # new closures are never starved once the table outgrows it
+    # candidate loop closures = ALL non-odometry edges regardless of
+    # current validity (the reference routes everything except
+    # TYPE_2D_WHEEL_ODOMETRY through the TransformationFilter,
+    # g2o_optimizer.cpp:75-103 — including 2D_LASER edges); endpoints must
+    # be live, and the window follows RECENCY so new closures are never
+    # starved once the table outgrows it
     slot_idx = jnp.arange(g.edge_capacity)
     is_lc = (
-        (g.e_type == gstate.EDGE_TYPE_3D_FULL)
+        (g.e_type != gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY)
         & (slot_idx < g.num_edges)
         & g.node_valid[g.e_from]
         & g.node_valid[g.e_to]
@@ -559,9 +580,11 @@ def scan_reregistration(
     t_ok = jnp.isfinite(-neg) & has
     # skip targets already connected to cur by a laser edge — the periodic
     # timer must not accumulate duplicates until the table overflows
+    # (presence-keyed: rereg edges enter invalid-until-validated)
     t_ok &= rec.mask_existing_pairs(
         g.e_from, g.e_to,
-        g.e_valid & (g.e_type == gstate.EDGE_TYPE_2D_LASER),
+        (jnp.arange(g.edge_capacity) < g.num_edges)
+        & (g.e_type == gstate.EDGE_TYPE_2D_LASER),
         targets, jnp.full_like(targets, cur),
     )
 
@@ -582,10 +605,14 @@ def scan_reregistration(
 
     def add_one(gg, xs):
         tslot, okk, p2, cov = xs
+        # invalid-until-validated: one bad ICP match on a corridor revisit
+        # must not corrupt the solve without spatio-temporal corroboration
+        # (the cluster filter in optimize_epoch validates it)
         gg, _ = gstate.add_edge(
             gg, jnp.where(okk, tslot, -1), cur,
             icp.icp_edge_pose(p2), icp.icp_information_6d(cov),
             etype=gstate.EDGE_TYPE_2D_LASER,
+            valid=False,
         )
         return gg, None
 
@@ -655,6 +682,58 @@ def maintenance_epoch(
         state = drop_from_banks(state, mask)
         evicted = jnp.sum(mask).astype(jnp.int32)
     return state._replace(graph=g), {"merged": n_merged, "evicted": evicted}
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def compact_state(state: SlamState) -> tuple[SlamState, dict]:
+    """Slot reclamation over the graph AND every per-node bank
+    (``lifecycle.compact_graph``): live nodes permute to the front, the
+    high-water marks shrink to the live counts, and freed capacity is
+    reusable — a bounded local scope stays in one capacity tier forever
+    (reference ``removeNode`` frees entries, ``slam_graph.cpp:216-229``).
+
+    Returns (state, perm); ``perm`` remaps any external slot-aligned
+    tables (e.g. ``scope.ShipState`` masks: ``node_acked[node_order]``,
+    ``edge_acked[edge_order] & edge_kept``)."""
+    g, perm = lifecycle.compact_graph(state.graph)
+    order = perm["node_order"]
+    inv = perm["node_inv"]
+    live = g.node_valid
+
+    def nperm(a):
+        return a[order]
+
+    repo = state.repo
+    if repo is not None:
+        remapped = inv[repo.links]
+        repo = repo._replace(
+            node_stamp=nperm(repo.node_stamp),
+            node_valid=nperm(repo.node_valid) & live,
+            links=jnp.maximum(remapped, 0),
+            link_valid=repo.link_valid & (remapped >= 0),
+        )
+    bow = state.bow
+    if bow is not None:
+        bow = voc.BowBank(
+            vec=nperm(bow.vec), stamp=nperm(bow.stamp),
+            valid=nperm(bow.valid) & live,
+        )
+    state = state._replace(
+        graph=g,
+        gist=rec.GistBank(
+            desc=nperm(state.gist.desc),
+            stamp=nperm(state.gist.stamp),
+            valid=nperm(state.gist.valid) & live,
+        ),
+        desc=nperm(state.desc),
+        desc_valid=nperm(state.desc_valid) & live[:, None],
+        points=nperm(state.points),
+        scans=nperm(state.scans),
+        scan_valid=nperm(state.scan_valid) & live,
+        repo=repo,
+        bow=bow,
+    )
+    return state, perm
 
 
 def grow_state(state: SlamState, node_capacity: int, edge_capacity: int) -> SlamState:
@@ -733,6 +812,11 @@ class Slam:
         import numpy as np
         self._last_kf_odom_host = np.asarray(self.state.last_kf_odom)
         self._n_kf_host = 0
+        # host-side estimate of the node-slot high-water mark: grows with
+        # insertions, resets to the true count after maintain()/compaction —
+        # this is what gates capacity growth (NOT the total keyframe count,
+        # which never shrinks when eviction frees slots)
+        self._n_slots_host = 0
 
     def add_frame(self, image, depth, odom_pose, stamp) -> dict | None:
         """Process a frame if keyframe-due; returns step info (device
@@ -754,7 +838,7 @@ class Slam:
         # auto-growth: re-pad to the next tier BEFORE slots run out so
         # add_node never silently drops keyframes (growth recompiles the
         # steps once per tier — the recompilation-free-within-tier design)
-        if self.auto_grow and self._n_kf_host >= int(0.9 * self.config.node_capacity):
+        if self.auto_grow and self._n_slots_host >= int(0.9 * self.config.node_capacity):
             import dataclasses as _dc
             new_cfg = _dc.replace(
                 self.config,
@@ -772,6 +856,7 @@ class Slam:
         )
         self._last_kf_odom_host = np.asarray(odom_pose)
         self._n_kf_host += 1
+        self._n_slots_host += 1
         self._since_opt += 1
         if self._since_opt >= self.optimize_every:
             self.optimize()
@@ -788,8 +873,10 @@ class Slam:
         import numpy as np
 
         t = len(stamps)
-        if self.auto_grow and (
-            self._n_kf_host + t >= int(0.9 * self.config.node_capacity)
+        # loop the doubling: a chunk can hold more due keyframes than one
+        # doubling provides, and add_node silently drops past capacity
+        while self.auto_grow and (
+            self._n_slots_host + t >= int(0.9 * self.config.node_capacity)
         ):
             import dataclasses as _dc
             new_cfg = _dc.replace(
@@ -815,6 +902,7 @@ class Slam:
             last = int(np.nonzero(inserted)[0][-1])
             self._last_kf_odom_host = np.asarray(odom_poses[last])
         self._n_kf_host += n_new
+        self._n_slots_host += n_new
         self._since_opt += n_new
         if self._since_opt >= self.optimize_every:
             self.optimize()
@@ -833,8 +921,23 @@ class Slam:
     def maintain(self, shipped=None):
         """Merge/eviction timer equivalent (role set by config.scope).
         ``shipped``: (N,) ACK mask from the scope protocol — without it a
-        sub-graph evicts unconditionally (standalone window)."""
+        sub-graph evicts unconditionally (standalone window).
+
+        Also reclaims slots: when eviction/merging has freed at least half
+        the used slots, the state is compacted so the capacity tier never
+        grows for a bounded scope. Returns info with ``compact_perm`` set
+        (or None) so callers can remap slot-aligned side state
+        (``scope.ShipState``)."""
         self.state, info = maintenance_epoch(self.state, self.config, shipped)
+        info = dict(info)
+        info["compact_perm"] = None
+        hw = int(jax.device_get(self.state.graph.num_nodes))
+        live = int(jax.device_get(jnp.sum(self.state.graph.node_valid)))
+        if hw >= max(64, int(0.25 * self.config.node_capacity)) and live <= hw // 2:
+            self.state, perm = compact_state(self.state)
+            info["compact_perm"] = perm
+            hw = live
+        self._n_slots_host = hw
         return info
 
     def trajectory(self):

@@ -170,7 +170,16 @@ def bow_query(
     DBoW2 database query with score threshold), with the shared
     time-separation gate. Returns (slots, scores, ok)."""
     s = bow_score(bank.vec, vec[None])  # (N,)
-    eligible = bank.valid & (jnp.abs(bank.stamp - stamp) >= min_dt)
+    # zero tf-idf vectors (no valid descriptors, or all words idf<=0) score
+    # 1.0 against each other under the L1 formula — featureless frames must
+    # never rank as top loop-closure candidates, so both sides must be
+    # non-degenerate
+    nonzero = jnp.sum(jnp.abs(bank.vec), axis=-1) > 1e-9
+    q_nonzero = jnp.sum(jnp.abs(vec)) > 1e-9
+    eligible = (
+        bank.valid & nonzero & q_nonzero
+        & (jnp.abs(bank.stamp - stamp) >= min_dt)
+    )
     s = jnp.where(eligible, s, -1.0)
     top, idx = jax.lax.top_k(s, k)
     return idx, top, top >= min_score

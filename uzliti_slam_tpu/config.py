@@ -27,6 +27,13 @@ class FeatureExtractionConfig:
     scale_factor: float = 1.2
     grid: int = 4
     use_depth_refinement: bool = True
+    # binary descriptor family ("brief" | "brisk") — the reference's
+    # descriptor-type factory (feature_extraction_core.cpp:51-85)
+    descriptor: str = "brief"
+    # undistort image+depth before feature/GIST work (the reference
+    # rectifies when distortion coefficients are nonzero,
+    # feature_extraction_core.cpp:123-135); requires camera k1/k2/p1/p2
+    rectify: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,8 +55,10 @@ def out_of_scope_mask(
     """Nodes eligible for eviction: valid, outside radius+margin of the
     robot, and already shipped/ACKed to the global graph
     (``graph_slam_node.cpp:619-660``)."""
+    from uzliti_slam_tpu.graph.state import GPS_ANCHOR_UID
+
     d = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(center)[None], axis=-1)
-    mask = g.node_valid & (d > radius + margin)
+    mask = g.node_valid & (d > radius + margin) & (g.node_uid != GPS_ANCHOR_UID)
     if shipped is not None:
         mask &= shipped
     return mask

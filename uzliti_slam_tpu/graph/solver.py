@@ -43,6 +43,9 @@ class SolverConfig:
     lambda_max: float = 1e2
     huber_delta: float = 1.0      # g2o_optimizer.cpp:292-294
     pcg_tol: float = 1e-8         # relative residual early-stop (masked)
+    optimize_xy_only: bool = False  # flatten to the x/y/yaw subspace — the
+                                  # reference's planar mode (g2o_optimizer
+                                  # .cpp:164-170 zeroes z/roll/pitch)
     preconditioner: str = "chain"  # "chain" (block-tridiagonal cyclic
                                   # reduction over the odometry spine —
                                   # default: strictly stronger than jacobi,
@@ -280,6 +283,15 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
         else:
             Minv = _block_jacobi_inverse(Hblocks, damp, free)
             apply_minv = lambda r: jnp.einsum("nij,nj->ni", Minv, r, precision=_PREC)
+        if config.optimize_xy_only:
+            # project the whole linear solve onto the x/y/yaw subspace:
+            # gradient, operator and preconditioner all see P A P — masked
+            # coordinates carry zero residual and zero update
+            cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+            base_hvp, base_minv = hvp, apply_minv
+            hvp = lambda v: base_hvp(v * cmask) * cmask
+            apply_minv = lambda r: base_minv(r * cmask) * cmask
+            grad = grad * cmask
         dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations, config.pcg_tol)
         dx = dx * free[:, None]
 
@@ -311,6 +323,11 @@ def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[Grap
     (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
     recomputed, edge ages incremented.
     """
+    if config.optimize_xy_only:
+        # flatten vertices first, as the reference does at addVertex
+        # (z = 0, roll = pitch = 0, g2o_optimizer.cpp:164-170)
+        flat = lie.pose2_to_pose(lie.pose_to_pose2(g.pose))
+        g = g._replace(pose=jnp.where(g.node_valid[:, None], flat, g.pose))
     labels = connected_components(g)
     gauge = gauge_fix_mask(g, labels)
     free = (g.node_valid & ~gauge).astype(g.pose.dtype)

@@ -30,6 +30,11 @@ EDGE_TYPE_2D_TRANSLATION = 7
 EDGE_TYPE_2D_WHEEL_ODOMETRY = 104
 EDGE_TYPE_2D_LASER = 105
 
+# uid reserved for the GPS map-origin anchor node (outside the
+# instance_id*1e6 + keyframe-counter space of any instance); exempt from
+# scope eviction — evicting it would orphan every TYPE_3D_GPS factor
+GPS_ANCHOR_UID = 2_000_000_000
+
 
 class GraphState(NamedTuple):
     """Fixed-capacity pose graph. All arrays padded to (N,) / (E,) capacity.

@@ -187,7 +187,42 @@ def brief_pattern(n_bits: int = 256, patch_radius: int = 13, seed: int = 1234) -
     return pts.astype(jnp.float32)
 
 
+def brisk_pattern(n_bits: int = 256, patch_radius: int = 13) -> jax.Array:
+    """BRISK-style deterministic sampling pattern: points on concentric
+    rings (staggered), paired by SHORT distance — the second binary family
+    of the reference's descriptor factory
+    (``feature_extraction_core.cpp:51-85``: BRIEF/ORB/BRISK/FREAK selection;
+    BRISK reference: Leutenegger et al., ICCV 2011). Geometry is generated
+    here from the published ring construction, not copied from any table.
+
+    Returns (n_bits, 2, 2) float offsets compatible with
+    ``brief_descriptors``'s pattern argument (same steering + sampling).
+    """
+    import numpy as np
+
+    rings = [(0.0, 1), (0.25, 8), (0.45, 12), (0.7, 16), (1.0, 20)]
+    pts = []
+    for ri, (rfrac, n) in enumerate(rings):
+        r = rfrac * patch_radius
+        for i in range(n):
+            th = 2.0 * np.pi * i / n + (np.pi / n) * (ri % 2)
+            pts.append((r * np.cos(th), r * np.sin(th)))
+    pts = np.asarray(pts, dtype=np.float32)  # (57, 2)
+    # short-distance pairs (BRISK's descriptor set): all pairs sorted by
+    # distance, ties broken by index order; take the n_bits shortest
+    # non-degenerate ones
+    ii, jj = np.triu_indices(len(pts), k=1)
+    d = np.linalg.norm(pts[ii] - pts[jj], axis=-1)
+    order = np.argsort(d, kind="stable")
+    sel = order[:n_bits]
+    pat = np.stack([pts[ii[sel]], pts[jj[sel]]], axis=-2)  # (n_bits, 2, 2)
+    return jnp.asarray(pat)
+
+
 _DEFAULT_PATTERN = brief_pattern()
+_BRISK_PATTERN = brisk_pattern()
+
+_PATTERNS = {"brief": _DEFAULT_PATTERN, "brisk": _BRISK_PATTERN}
 
 
 def brief_descriptors(
@@ -228,7 +263,9 @@ def brief_descriptors(
     return matching.pack_bits(bits)  # single LSB-first layout for Hamming
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "grid", "n_levels", "scale_factor"))
+@partial(jax.jit, static_argnames=(
+    "max_keypoints", "grid", "n_levels", "scale_factor", "descriptor"
+))
 def detect_and_describe(
     img: jax.Array,
     max_keypoints: int = 300,
@@ -236,6 +273,7 @@ def detect_and_describe(
     grid: int = 4,
     n_levels: int = 4,
     scale_factor: float = 1.2,
+    descriptor: str = "brief",
 ):
     """Full ORB-equivalent pipeline over an image pyramid.
 
@@ -244,7 +282,15 @@ def detect_and_describe(
     with invalid slots, so callers can size banks to max_keypoints without
     divisibility constraints; reference default 300 features,
     ``FeatureExtraction.cfg:11``). Keypoint uv are in level-0 pixels.
+
+    ``descriptor`` selects the binary family — "brief" (steered random
+    pairs) or "brisk" (ring-pattern short pairs) — the reference's
+    descriptor-type factory (``feature_extraction_core.cpp:51-85``). Both
+    yield 256-bit packed descriptors matched by the same Hamming path.
     """
+    if descriptor not in _PATTERNS:
+        raise ValueError(f"unknown descriptor family {descriptor!r}")
+    pattern = _PATTERNS[descriptor]
     img = img.astype(jnp.float32)
     k_level = max(max_keypoints // n_levels, 1)
     all_kp = []
@@ -255,7 +301,7 @@ def detect_and_describe(
         score = nms(fast_score(cur, threshold))
         uv, resp, valid = select_topk_grid(score, k_level, grid)
         ang = intensity_centroid_angles(cur, uv)
-        desc = brief_descriptors(cur, uv, ang)
+        desc = brief_descriptors(cur, uv, ang, pattern)
         all_kp.append(
             Keypoints(
                 uv=uv * scale,

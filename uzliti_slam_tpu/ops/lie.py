@@ -327,6 +327,14 @@ def yaw_of(q: jax.Array) -> jax.Array:
     return jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
 
 
+def roll_of(q: jax.Array) -> jax.Array:
+    """Roll (Euler x) angle extracted from a quaternion — the reference's
+    ``toEuler(...)(0)`` used for GIST roll compensation
+    (``feature_extraction_core.cpp:137-149``)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.arctan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y))
+
+
 def pose2_to_pose(xyt: jax.Array) -> jax.Array:
     """Planar (x, y, theta) -> SE(3) pose."""
     x, y, th = xyt[..., 0], xyt[..., 1], xyt[..., 2]

@@ -4,8 +4,26 @@ Replaces the reference's brute-force ``cv::BFMatcher`` Hamming 2-NN loop
 (``transformation_estimation/src/feature_transformation_estimator.cpp:58-71``)
 with one batched popcount-as-matmul: for bit-unpacked descriptors
 a, b ∈ {0,1}, Hamming(a, b) = |a| + |b| - 2·a·bᵀ — a single (F×D)·(D×F)
-contraction that XLA tiles straight onto the MXU.  A Pallas int8 kernel for
-the packed-uint8 path lives in ``ops/pallas/hamming.py``.
+contraction that XLA tiles straight onto the MXU.
+
+This is THE Hamming entry point. A packed-word VPU popcount Pallas kernel
+was A/B-benchmarked against it on-chip at the pipeline shapes and LOST at
+every bandwidth/compute-bound shape, so it was removed (r2 measurements,
+one real TPU chip, packed (M,32)x(N,32) uint8 inputs):
+
+  shape          MXU matmul   Pallas popcount
+  300 x 300        1.92 ms      1.57 ms   (both dispatch-bound over the
+                                           remote tunnel; inside a fused
+                                           jitted pipeline no dispatch
+                                           occurs, so this "win" is noise)
+  128 x 131072     1.59 ms      9.00 ms   (place-recognition retrieval)
+  300 x 38400      1.60 ms      8.07 ms   (repository retrieval)
+  4096 x 4096      1.42 ms      8.95 ms   (vocabulary build)
+
+The unpack adds 8x VMEM traffic in theory, but XLA fuses it into the
+matmul's LHS/RHS loads and the MXU's 256-wide int8 MACs beat the VPU's
+32-lane popcount+reduce by ~6x — matching the r1 measurement (2.9 T
+bit-ops/s at 4096²).
 """
 
 from __future__ import annotations

@@ -41,6 +41,12 @@ class Keyframe(NamedTuple):
     depth: jax.Array      # (H, W) metric depth f32 (0 = invalid)
     odom_pose: jax.Array  # (7,) odometry-frame pose of the robot base
     stamp: jax.Array      # () seconds
+    # optional per-camera capture displacement (C, 7): odometry motion of
+    # the base between the sensor trigger and each camera's actual capture
+    # during staggered multi-cam acquisition (the reference's per-camera
+    # displacement, feature_extraction_service_node.cpp:191-217). None =
+    # simultaneous capture.
+    cam_disp: jax.Array | None = None
 
 
 class SlamState(NamedTuple):
@@ -54,6 +60,10 @@ class SlamState(NamedTuple):
     last_kf_odom: jax.Array  # (7,) odometry pose at last keyframe
     prng: jax.Array
     n_keyframes: jax.Array  # () int32
+    # slot of the most recent KEYFRAME node (-1 before the first). NOT
+    # num_nodes-1: GPS anchors and scope-boundary nodes also append to the
+    # table, and odometry/scan edges must chain keyframes, not anchors.
+    last_kf_slot: jax.Array  # () int32
     # method-specific recognition state (None unless selected by
     # config.recognition.method — the reference's place_recognition_method)
     repo: rec.FeatureRepository | None = None
@@ -92,6 +102,7 @@ def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
         last_kf_odom=lie.pose_identity(),
         prng=jax.random.PRNGKey(seed),
         n_keyframes=jnp.zeros((), dtype=jnp.int32),
+        last_kf_slot=jnp.full((), -1, dtype=jnp.int32),
         repo=repo,
         bow=bow,
         vocab=vocabulary if rc.method == "bow" else None,
@@ -143,6 +154,11 @@ def _keyframe_body(
     else:
         deps = deps.astype(jnp.float32)
     cam_poses = cam_pose if cam_pose.ndim == 2 else cam_pose[None]
+    if kf.cam_disp is not None:
+        # staggered capture: each camera's extrinsic is composed with the
+        # base displacement accumulated between trigger and capture
+        disp = kf.cam_disp if kf.cam_disp.ndim == 2 else kf.cam_disp[None]
+        cam_poses = lie.pose_compose(disp, cam_poses)
     n_cams = imgs.shape[0]
     k_per_cam = _feat_count(config) // n_cams
     if k_per_cam * n_cams != _feat_count(config):
@@ -153,6 +169,11 @@ def _keyframe_body(
 
     # --- front-end, vmapped over cameras (feature_extraction_service_node.cpp:85-285) ---
     def frontend_one(img, dep_raw, cpose):
+        if fc.rectify:
+            # undistort before any feature/GIST work so the pinhole lift
+            # holds on real (distorted) sensors
+            img = cam_mod.rectify_image(cam, img)
+            dep_raw = cam_mod.rectify_image(cam, dep_raw, nearest=True)
         kps, desc = features.detect_and_describe(
             img,
             max_keypoints=k_per_cam,
@@ -160,6 +181,7 @@ def _keyframe_body(
             grid=fc.grid,
             n_levels=fc.pyramid_levels,
             scale_factor=fc.scale_factor,
+            descriptor=fc.descriptor,
         )
         dep = (
             depth_ops.joint_bilateral_filter(dep_raw, img)
@@ -176,9 +198,14 @@ def _keyframe_body(
             dep, cam, cpose, n_bins=config.scan_bins,
             height_band=(-0.4, 0.6), max_range=6.0,
         )
-        return desc, pts_base, pts_valid, vscan
+        # rectified image is also the GIST source (the reference rectifies
+        # inside extractBinaryGist, feature_extraction_core.cpp:123-135)
+        gist_img = img
+        return desc, pts_base, pts_valid, vscan, gist_img
 
-    desc_c, pts_c, valid_c, vscan_c = jax.vmap(frontend_one)(imgs, deps, cam_poses)
+    desc_c, pts_c, valid_c, vscan_c, gist_imgs = jax.vmap(frontend_one)(
+        imgs, deps, cam_poses
+    )
     desc = desc_c.reshape(-1, 32)
     pts_base = pts_c.reshape(-1, 3)
     pts_valid = valid_c.reshape(-1)
@@ -200,11 +227,16 @@ def _keyframe_body(
     else:
         vscan = vscan0
 
-    gist = features.binary_gist(imgs[0])
+    # GIST orientation compensated by the camera transform's roll, as the
+    # reference does (feature_extraction_core.cpp:137-149: toEuler(...)(0)
+    # of the camera transform feeds the center keypoint angle)
+    gist = features.binary_gist(
+        gist_imgs[0], roll_angle=lie.roll_of(lie.pose_q(cam_poses[0]))
+    )
 
     # --- pose bootstrap: map estimate from diff ∘ odom (graph_slam_node.cpp:188-202)
     map_pose = lie.pose_compose(g.diff_transform, kf.odom_pose)
-    prev_slot = g.num_nodes - 1
+    prev_slot = state.last_kf_slot
     has_prev = prev_slot >= 0
     prev_slot_safe = jnp.maximum(prev_slot, 0)
 
@@ -425,6 +457,7 @@ def _keyframe_body(
         last_kf_odom=kf.odom_pose,
         prng=prng,
         n_keyframes=state.n_keyframes + 1,
+        last_kf_slot=jnp.where(wrote, new_slot, state.last_kf_slot).astype(jnp.int32),
     )
     info = {
         "new_slot": new_slot,
@@ -519,9 +552,14 @@ def optimize_epoch(
     # g2o_optimizer.cpp:75-103 — including 2D_LASER edges); endpoints must
     # be live, and the window follows RECENCY so new closures are never
     # starved once the table outgrows it
+    # GPS factors are exempt: they are unary absolute priors from a fixed
+    # anchor — the cluster filter's rigid-transform consensus model (built
+    # for relative loop closures) cannot corroborate them (their from-side
+    # time span is always zero)
     slot_idx = jnp.arange(g.edge_capacity)
     is_lc = (
         (g.e_type != gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY)
+        & (g.e_type != gstate.EDGE_TYPE_3D_GPS)
         & (slot_idx < g.num_edges)
         & g.node_valid[g.e_from]
         & g.node_valid[g.e_to]
@@ -566,8 +604,8 @@ def scan_reregistration(
     against nearby nodes). Returns (state, number of edges added)."""
     g = state.graph
     ec = config.estimation
-    cur = jnp.maximum(g.num_nodes - 1, 0)
-    has = (g.num_nodes > 0) & state.scan_valid[cur]
+    cur = jnp.maximum(state.last_kf_slot, 0)
+    has = (state.last_kf_slot >= 0) & state.scan_valid[cur]
 
     d = jnp.linalg.norm(lie.pose_t(g.pose) - lie.pose_t(g.pose[cur])[None], axis=-1)
     slots = jnp.arange(g.node_capacity)
@@ -625,10 +663,13 @@ def maintenance_epoch(
     state: SlamState,
     config: SlamConfig = SlamConfig(),
     shipped: jax.Array | None = None,
+    center: jax.Array | None = None,
 ) -> tuple[SlamState, dict]:
     """Scope-window maintenance: node merging (global role,
     ``mergeTimerCallback``) and/or eviction bookkeeping (local role). The
-    robot center is the newest node.
+    robot center is the newest keyframe, or ``center`` (7,) when given —
+    the GLOBAL instance has no keyframes and centers on the robot pose
+    carried by the latest scope request (``scopeRequestCallback``).
 
     ``shipped`` (N,) gates eviction to nodes already ACKed by the global
     graph (the reference only evicts sent nodes, ``:619-660``); without a
@@ -636,8 +677,9 @@ def maintenance_epoch(
     """
     g = state.graph
     sc = config.scope
-    cur = jnp.maximum(g.num_nodes - 1, 0)
-    center = g.pose[cur]
+    cur = jnp.maximum(state.last_kf_slot, 0)
+    if center is None:
+        center = g.pose[cur]
     radius = lifecycle.scope_radius(
         g.uncertainty[cur], sc.scope_size_min, sc.scope_size_factor
     )
@@ -718,6 +760,8 @@ def compact_state(state: SlamState) -> tuple[SlamState, dict]:
             vec=nperm(bow.vec), stamp=nperm(bow.stamp),
             valid=nperm(bow.valid) & live,
         )
+    last = state.last_kf_slot
+    new_last = jnp.where(last >= 0, inv[jnp.maximum(last, 0)], -1).astype(jnp.int32)
     state = state._replace(
         graph=g,
         gist=rec.GistBank(
@@ -730,6 +774,7 @@ def compact_state(state: SlamState) -> tuple[SlamState, dict]:
         points=nperm(state.points),
         scans=nperm(state.scans),
         scan_valid=nperm(state.scan_valid) & live,
+        last_kf_slot=new_last,
         repo=repo,
         bow=bow,
     )
@@ -795,6 +840,9 @@ def _keyframe_due_np(last_pose, cur_pose, dist_thresh, angle_deg) -> bool:
     return dt >= dist_thresh or np.degrees(dr) >= angle_deg
 
 
+GPS_ANCHOR_UID = gstate.GPS_ANCHOR_UID
+
+
 class Slam:
     """Imperative shell over the functional core: keyframe gating, capacity
     growth, and epoch scheduling (the role of ``main()`` + timers,
@@ -818,7 +866,7 @@ class Slam:
         # which never shrinks when eviction frees slots)
         self._n_slots_host = 0
 
-    def add_frame(self, image, depth, odom_pose, stamp) -> dict | None:
+    def add_frame(self, image, depth, odom_pose, stamp, cam_disp=None) -> dict | None:
         """Process a frame if keyframe-due; returns step info (device
         arrays — don't sync them on the hot path) or None.
 
@@ -850,7 +898,8 @@ class Slam:
             )
             self.config = new_cfg
         kf = Keyframe(image=image, depth=depth, odom_pose=odom_pose,
-                      stamp=jnp.asarray(stamp, jnp.float32))
+                      stamp=jnp.asarray(stamp, jnp.float32),
+                      cam_disp=None if cam_disp is None else jnp.asarray(cam_disp))
         self.state, info = process_keyframe(
             self.state, kf, self.cam, self.cam_pose, self.config
         )
@@ -908,6 +957,43 @@ class Slam:
             self.optimize()
         return infos
 
+    def add_gps(self, xyz, sigma: float = 1.0) -> bool:
+        """Ingest an absolute GPS fix for the newest keyframe as a
+        translation-only TYPE_3D_GPS factor from a fixed map-origin anchor
+        node (``Edge.msg`` TYPE_3D_GPS + ``Graph.msg`` gps_offset — fold
+        any UTM offset into ``xyz`` before calling). Low-rate host path;
+        returns False when no keyframe exists yet."""
+        import numpy as np
+
+        g = self.state.graph
+        last = int(jax.device_get(self.state.last_kf_slot))
+        if last < 0:
+            return False
+        uids = np.asarray(g.node_uid)
+        valid = np.asarray(g.node_valid)
+        anchors = np.nonzero(valid & (uids == GPS_ANCHOR_UID))[0]
+        if len(anchors) == 0:
+            g, slot = gstate.add_node(
+                g, lie.pose_identity(), lie.pose_identity(),
+                jnp.asarray(0.0), fixed=True, uid=GPS_ANCHOR_UID,
+            )
+            anchor = int(jax.device_get(slot))
+            if anchor < 0:
+                return False
+            self._n_slots_host += 1
+        else:
+            anchor = int(anchors[0])
+        measurement = lie.make_pose(
+            jnp.asarray(xyz, jnp.float32), jnp.array([1.0, 0, 0, 0], jnp.float32)
+        )
+        info = (1.0 / float(sigma) ** 2) * jnp.eye(6)
+        g, eslot = gstate.add_edge(
+            g, jnp.asarray(anchor, jnp.int32), jnp.asarray(last, jnp.int32),
+            measurement, info, etype=gstate.EDGE_TYPE_3D_GPS,
+        )
+        self.state = self.state._replace(graph=g)
+        return int(jax.device_get(eslot)) >= 0
+
     def optimize(self):
         self.state, stats = optimize_epoch(self.state, self.config)
         self._since_opt = 0
@@ -918,17 +1004,18 @@ class Slam:
         self.state, n = scan_reregistration(self.state, self.config, k_targets)
         return n
 
-    def maintain(self, shipped=None):
+    def maintain(self, shipped=None, center=None):
         """Merge/eviction timer equivalent (role set by config.scope).
         ``shipped``: (N,) ACK mask from the scope protocol — without it a
-        sub-graph evicts unconditionally (standalone window).
+        sub-graph evicts unconditionally (standalone window). ``center``:
+        explicit robot pose (7,) for instances without keyframes (global).
 
         Also reclaims slots: when eviction/merging has freed at least half
         the used slots, the state is compacted so the capacity tier never
         grows for a bounded scope. Returns info with ``compact_perm`` set
         (or None) so callers can remap slot-aligned side state
         (``scope.ShipState``)."""
-        self.state, info = maintenance_epoch(self.state, self.config, shipped)
+        self.state, info = maintenance_epoch(self.state, self.config, shipped, center)
         info = dict(info)
         info["compact_perm"] = None
         hw = int(jax.device_get(self.state.graph.num_nodes))

@@ -38,7 +38,7 @@ class SlamService:
     the default remote-TPU backend).
     """
 
-    def __init__(self, config=None, cam=None, cam_pose=None):
+    def __init__(self, config=None, cam=None, cam_pose=None, use_ekf: bool = False):
         from uzliti_slam_tpu import metrics as metrics_mod
         from uzliti_slam_tpu import pipeline
         from uzliti_slam_tpu.config import SlamConfig
@@ -46,10 +46,60 @@ class SlamService:
         self.slam = pipeline.Slam(config or SlamConfig(), cam=cam, cam_pose=cam_pose)
         self.metrics = metrics_mod.Metrics()
         self.lock = threading.Lock()
+        # odometry x IMU EKF upstream of the keyframe gate — the reference
+        # runs robot_pose_ekf in front of the SLAM node
+        # (iti_slam_launch/launch/pose_ekf.launch:4-17). Auto-enables when
+        # a frame carries IMU samples.
+        self.use_ekf = use_ekf
+        self._ekf = None
+        self._prev_raw_odom = None
+        self._prev_stamp = None
 
-    def add_frame(self, image, depth, odom_pose, stamp):
+    def _fuse_odometry(self, odom_pose, stamp, imu_yaw_rates):
+        """Fuse raw wheel odometry with queued IMU yaw-rate samples; returns
+        the fused SE(3) pose (numpy). EKF math runs on the CPU backend —
+        5x5 matrices are not worth a remote-TPU dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        from uzliti_slam_tpu.frontend import ekf
+        from uzliti_slam_tpu.ops import lie
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            if self._ekf is None:
+                xy_yaw = lie.pose_to_pose2(jnp.asarray(odom_pose, jnp.float32))
+                self._ekf = ekf.ekf_init(
+                    jnp.concatenate([xy_yaw, jnp.zeros(2)])
+                )
+                self._prev_raw_odom = np.asarray(odom_pose, np.float32)
+                self._prev_stamp = float(stamp)
+                return np.asarray(ekf.ekf_pose(self._ekf))
+            dt = max(float(stamp) - self._prev_stamp, 1e-3)
+            rel = lie.pose_relative(
+                jnp.asarray(self._prev_raw_odom, jnp.float32),
+                jnp.asarray(odom_pose, jnp.float32),
+            )
+            body_delta = lie.pose_to_pose2(rel)
+            s = ekf.ekf_predict(self._ekf, jnp.asarray(dt, jnp.float32))
+            s = ekf.ekf_update_odom(s, body_delta, jnp.asarray(dt, jnp.float32))
+            for wz in np.atleast_1d(np.asarray(imu_yaw_rates, np.float32)):
+                s = ekf.ekf_update_imu_yaw_rate(s, jnp.asarray(wz))
+            self._ekf = s
+            self._prev_raw_odom = np.asarray(odom_pose, np.float32)
+            self._prev_stamp = float(stamp)
+            return np.asarray(ekf.ekf_pose(s))
+
+    def add_frame(self, image, depth, odom_pose, stamp, imu_yaw_rates=None):
         import jax
         with self.lock:
+            if imu_yaw_rates is not None:
+                self.use_ekf = True
+            if self.use_ekf:
+                odom_pose = self._fuse_odometry(
+                    odom_pose, stamp,
+                    imu_yaw_rates if imu_yaw_rates is not None else [],
+                )
             with self.metrics.stage("frontend"):
                 info = self.slam.add_frame(image, depth, odom_pose, stamp)
                 # block so the stage timing covers device compute, not
@@ -136,12 +186,18 @@ def make_handler(service: SlamService):
                     data = np.load(io.BytesIO(body))
                     # pass sensor dtypes through unchanged: the pipeline
                     # treats integer depth as millimeters (Kinect wire
-                    # format), float depth as meters
+                    # format), float depth as meters. Optional
+                    # ``imu_yaw_rates`` (K,) samples since the last frame
+                    # switch the service to EKF-fused odometry.
                     info = service.add_frame(
                         np.asarray(data["image"]),
                         np.asarray(data["depth"]),
                         np.asarray(data["odom_pose"], np.float32),
                         float(data["stamp"]),
+                        imu_yaw_rates=(
+                            np.asarray(data["imu_yaw_rates"], np.float32)
+                            if "imu_yaw_rates" in data else None
+                        ),
                     )
                     self._json({
                         "keyframe": info is not None,

@@ -99,3 +99,69 @@ class TestMaintenance:
         slam = run_slam(BASE, n_frames=8)
         info = slam.maintain()
         assert int(info["merged"]) == 0 and int(info["evicted"]) == 0
+
+
+class TestMergeSensorData:
+    """Missing r1 #6: node merging must MERGE sensor payloads into the
+    kept node, not discard the absorbed node's banks
+    (reference graph_slam_node.cpp:890-1062)."""
+
+    def _two_node_state(self):
+        import jax.numpy as jnp
+
+        from uzliti_slam_tpu import pipeline
+        from uzliti_slam_tpu.config import ScopeConfig, SlamConfig
+        from uzliti_slam_tpu.ops import lie
+
+        cfg = SlamConfig(
+            node_capacity=16, edge_capacity=64, feats_per_node=8, scan_bins=8,
+            scope=ScopeConfig(merge_nodes=True, scope_size_min=0.5,
+                              merge_margin=0.0, merge_dist=0.3),
+        )
+        st = pipeline.init_state(cfg)
+        g = st.graph
+        # two nearly-coincident nodes far from the robot center, plus a
+        # current keyframe node at the origin to center the scope
+        p = lambda x, y: lie.make_pose(jnp.array([x, y, 0.0]), jnp.array([1.0, 0, 0, 0]))
+        g, a = gstate.add_node(g, p(5.0, 0.0), p(5.0, 0.0), jnp.asarray(0.0), uid=0)
+        g, b = gstate.add_node(g, p(5.05, 0.0), p(5.05, 0.0), jnp.asarray(1.0), uid=1)
+        g, c = gstate.add_node(g, p(0.0, 0.0), p(0.0, 0.0), jnp.asarray(2.0), uid=2)
+        st = st._replace(graph=g, last_kf_slot=jnp.asarray(int(c), jnp.int32))
+
+        # node a: scan hit only in bin 0 direction; descriptors 0-3 valid
+        # node b: scan hit only in the opposite bearing; descriptors 4-7
+        scans = st.scans
+        scans = scans.at[int(a)].set(jnp.inf).at[int(a), 4].set(2.0)
+        scans = scans.at[int(b)].set(jnp.inf).at[int(b), 0].set(1.5)
+        dv = st.desc_valid
+        dv = dv.at[int(a), :4].set(True)
+        dv = dv.at[int(b), 4:].set(True)
+        desc = st.desc
+        desc = desc.at[int(a)].set(7)
+        desc = desc.at[int(b)].set(9)
+        st = st._replace(
+            scans=scans,
+            scan_valid=st.scan_valid.at[int(a)].set(True).at[int(b)].set(True),
+            desc=desc,
+            desc_valid=dv,
+            points=st.points.at[int(b)].set(1.0),
+        )
+        return pipeline, cfg, st, int(a), int(b)
+
+    def test_scan_and_descriptors_merge_into_kept(self):
+        pipeline, cfg, st, a, b = self._two_node_state()
+        st2, info = pipeline.maintenance_epoch(st, cfg)
+        assert int(info["merged"]) == 1
+        g = st2.graph
+        # kept = older node (a); absorbed = b
+        assert bool(g.node_valid[a])
+        assert not bool(g.node_valid[b])
+        # descriptor slots backfilled: all 8 slots now valid, mixing both
+        dv = np.asarray(st2.desc_valid[a])
+        assert dv.sum() == 8
+        d = np.asarray(st2.desc[a])
+        assert (d == 7).any() and (d == 9).any()
+        # merged scan covers BOTH nodes' bearings
+        sc = np.asarray(st2.scans[a])
+        assert np.isfinite(sc).sum() >= 2
+        assert bool(st2.scan_valid[a])

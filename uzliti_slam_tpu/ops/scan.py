@@ -163,6 +163,40 @@ def depth_to_scan(
     )
 
 
+def points_to_scan(
+    points2d: jax.Array,
+    valid: jax.Array,
+    n_bins: int = 360,
+    angle_min: float = -jnp.pi,
+    angle_max: float = jnp.pi,
+    max_range: float = 6.0,
+    min_range: float = 0.05,
+) -> Scan:
+    """Re-bin 2-D points (in the scan frame) into a virtual scan: per
+    bearing, nearest range (obstacle) + farthest (free-space evidence).
+    Used to merge scans across frames: transform both point sets into the
+    target frame, union, re-bin (the reference transforms + merges scans
+    during node merging, ``graph_slam_node.cpp:890-1062``)."""
+    x, y = points2d[..., 0], points2d[..., 1]
+    rng = jnp.hypot(x, y)
+    bearing = jnp.arctan2(y, x)
+    ok = (
+        valid & (rng >= min_range) & (rng <= max_range)
+        & (bearing >= angle_min) & (bearing < angle_max)
+    )
+    binf = (bearing - angle_min) / (angle_max - angle_min) * n_bins
+    bins = jnp.clip(binf.astype(jnp.int32), 0, n_bins - 1)
+    near, far = _bin_min_max(
+        rng.reshape(-1), ok.reshape(-1), bins.reshape(-1), n_bins, max_range
+    )
+    return Scan(
+        ranges=near,
+        far_ranges=jnp.where(jnp.isfinite(far), far, jnp.inf),
+        angle_min=jnp.asarray(angle_min, jnp.float32),
+        angle_max=jnp.asarray(angle_max, jnp.float32),
+    )
+
+
 def merge_scans(a: Scan, b: Scan, close_thresh: float = 0.2, prefer_b: bool = True) -> Scan:
     """Merge two scans over the same bearing grid (multi-camera fusion /
     revisit updates): average when ranges agree within ``close_thresh``,

@@ -658,6 +658,95 @@ def scan_reregistration(
     return state._replace(graph=g), jnp.sum(ok)
 
 
+def _merge_banks(
+    state: SlamState,
+    g_before: gstate.GraphState,
+    g_after: gstate.GraphState,
+    ki: jax.Array,
+    ai: jax.Array,
+    ok: jax.Array,
+    n_bins: int,
+) -> SlamState:
+    """Fold each absorbed node's sensor payload into its kept node
+    (reference ``mergeNodes`` merges laser scans and moves sensor data,
+    ``graph_slam_node.cpp:890-1062``):
+
+    - descriptors/3-D points: the kept node's invalid slots are backfilled
+      with the absorbed node's valid entries (fixed budget F — the SoA
+      analog of appending sensor data), points re-expressed in the kept
+      node's NEW (slerp-averaged) frame;
+    - scans: both scans' points transform into the new kept frame and
+      re-bin to one virtual scan (nearest range per bearing).
+    """
+    pi = jnp.float32(jnp.pi)
+
+    def one(st, xs):
+        k, a, o = xs
+        ks = jnp.maximum(k, 0)
+        a_s = jnp.maximum(a, 0)
+        # frame changes: old owner frame -> new kept frame
+        rel_k = lie.pose_relative(g_after.pose[ks], g_before.pose[ks])
+        rel_a = lie.pose_relative(g_after.pose[ks], g_before.pose[a_s])
+
+        # --- descriptor/point backfill ---
+        kv = st.desc_valid[ks]
+        av = st.desc_valid[a_s]
+        f = kv.shape[0]
+        pri = jnp.concatenate(
+            [jnp.where(kv, 0, 2), jnp.where(av, 1, 3)]
+        ).astype(jnp.int32)
+        order = jnp.argsort(pri, stable=True)[:f]
+        desc_all = jnp.concatenate([st.desc[ks], st.desc[a_s]])[order]
+        valid_all = jnp.concatenate([kv, av])[order]
+        pk = lie.pose_apply(rel_k[None], st.points[ks])
+        pa = lie.pose_apply(rel_a[None], st.points[a_s])
+        pts_all = jnp.concatenate([pk, pa])[order]
+
+        # --- scan union in the new kept frame (planar) ---
+        def scan_of(slot):
+            s = scan_ops.Scan(
+                st.scans[slot], st.scans[slot],
+                -pi, pi,
+            )
+            return scan_ops.scan_points(s)
+
+        pk2, okk = scan_of(ks)
+        pa2, oka = scan_of(a_s)
+        rk2 = lie.pose_to_pose2(rel_k)
+        ra2 = lie.pose_to_pose2(rel_a)
+
+        def tf2(p2, pts):
+            c, s2 = jnp.cos(p2[2]), jnp.sin(p2[2])
+            x = c * pts[:, 0] - s2 * pts[:, 1] + p2[0]
+            y = s2 * pts[:, 0] + c * pts[:, 1] + p2[1]
+            return jnp.stack([x, y], axis=-1)
+
+        union = jnp.concatenate([tf2(rk2, pk2), tf2(ra2, pa2)])
+        union_ok = jnp.concatenate(
+            [okk & st.scan_valid[ks], oka & st.scan_valid[a_s]]
+        )
+        merged = scan_ops.points_to_scan(union, union_ok, n_bins=n_bins)
+        any_scan = st.scan_valid[ks] | st.scan_valid[a_s]
+
+        st = st._replace(
+            desc=st.desc.at[ks].set(jnp.where(o, desc_all, st.desc[ks])),
+            desc_valid=st.desc_valid.at[ks].set(
+                jnp.where(o, valid_all, st.desc_valid[ks])
+            ),
+            points=st.points.at[ks].set(jnp.where(o, pts_all, st.points[ks])),
+            scans=st.scans.at[ks].set(
+                jnp.where(o, merged.ranges, st.scans[ks])
+            ),
+            scan_valid=st.scan_valid.at[ks].set(
+                jnp.where(o, any_scan, st.scan_valid[ks])
+            ),
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(one, state, (ki, ai, ok))
+    return state
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def maintenance_epoch(
     state: SlamState,
@@ -705,13 +794,22 @@ def maintenance_epoch(
     n_merged = jnp.zeros((), jnp.int32)
     if sc.merge_nodes:
         live_before = g.node_valid
-        g, n_merged = lifecycle.merge_step(
+        g_before = g
+        ki, ai, ok_pairs = lifecycle.find_merge_pairs(
             g, center, radius,
             dist_thresh=sc.merge_dist,
             angle_thresh_deg=sc.merge_angle_deg,
             margin=sc.merge_margin,
         )
-        n_merged = n_merged.astype(jnp.int32)
+        g = lifecycle.merge_nodes(g, ki, ai, ok_pairs)
+        n_merged = jnp.sum(ok_pairs).astype(jnp.int32)
+        # sensor payloads MERGE into the kept node (scans re-binned in the
+        # kept frame, descriptor slots backfilled) — the reference merges
+        # laser scans and sensor data on mergeNodes
+        # (graph_slam_node.cpp:890-1062) instead of discarding them
+        state = _merge_banks(
+            state, g_before, g, ki, ai, ok_pairs, config.scan_bins
+        )
         # absorbed nodes must leave the recognition banks too, or PR keeps
         # proposing candidates against dead slots
         state = drop_from_banks(state, live_before & ~g.node_valid)

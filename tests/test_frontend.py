@@ -245,6 +245,48 @@ class TestBriskFamily:
         assert not np.array_equal(np.asarray(d1), np.asarray(d2))
 
 
+class TestFreakFamily:
+    """Third binary descriptor family (reference descriptor factory
+    BRIEF/ORB/BRISK/FREAK, feature_extraction_core.cpp:51-85)."""
+
+    def test_pattern_is_retinal_and_long_pairs(self):
+        pat = np.asarray(features.freak_pattern())
+        assert pat.shape == (256, 2, 2)
+        assert np.all(np.linalg.norm(pat.reshape(-1, 2), axis=-1) <= 13.01)
+        # coarse-to-fine construction: mean pair distance well ABOVE
+        # BRISK's short pairs (FREAK compares across the retina first)
+        brisk = np.asarray(features.brisk_pattern())
+        d_freak = np.linalg.norm(pat[:, 0] - pat[:, 1], axis=-1).mean()
+        d_brisk = np.linalg.norm(brisk[:, 0] - brisk[:, 1], axis=-1).mean()
+        assert d_freak > d_brisk
+        # retinal topology: sampling-point radii span fovea to periphery
+        radii = np.linalg.norm(pat.reshape(-1, 2), axis=-1)
+        assert radii.min() < 2.0 and radii.max() > 10.0
+
+    def test_freak_descriptors_match_under_shift(self):
+        img = blob_image()
+        k1, d1 = features.detect_and_describe(img, 64, descriptor="freak")
+        sh = jnp.roll(img, 3, axis=1)
+        k2, d2 = features.detect_and_describe(sh, 64, descriptor="freak")
+        from uzliti_slam_tpu.ops import matching
+        mi, ok, dist = matching.match_descriptors(
+            matching.unpack_bits(d1), matching.unpack_bits(d2),
+            valid_a=k1.valid, valid_b=k2.valid, ratio=0.9, max_dist=60.0,
+        )
+        assert int(jnp.sum(ok)) >= 10
+        du = k2.uv[mi][:, 0] - k1.uv[:, 0]
+        med = float(jnp.median(jnp.where(ok, du, jnp.nan)[ok]))
+        assert abs(med - 3.0) < 1.5
+
+    def test_freak_differs_from_other_families(self):
+        img = blob_image()
+        _, d1 = features.detect_and_describe(img, 64, descriptor="freak")
+        _, d2 = features.detect_and_describe(img, 64, descriptor="brisk")
+        _, d3 = features.detect_and_describe(img, 64, descriptor="brief")
+        assert not np.array_equal(np.asarray(d1), np.asarray(d2))
+        assert not np.array_equal(np.asarray(d1), np.asarray(d3))
+
+
 class TestDistortion:
     """Radial/tangential distortion model + rectification (VERDICT r1 #6;
     reference rectifies before feature/GIST work,

@@ -27,8 +27,8 @@ class FeatureExtractionConfig:
     scale_factor: float = 1.2
     grid: int = 4
     use_depth_refinement: bool = True
-    # binary descriptor family ("brief" | "brisk") — the reference's
-    # descriptor-type factory (feature_extraction_core.cpp:51-85)
+    # binary descriptor family ("brief" | "brisk" | "freak") — the
+    # reference's descriptor-type factory (feature_extraction_core.cpp:51-85)
     descriptor: str = "brief"
     # undistort image+depth before feature/GIST work (the reference
     # rectifies when distortion coefficients are nonzero,

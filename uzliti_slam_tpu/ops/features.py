@@ -219,10 +219,48 @@ def brisk_pattern(n_bits: int = 256, patch_radius: int = 13) -> jax.Array:
     return jnp.asarray(pat)
 
 
+def freak_pattern(n_bits: int = 256, patch_radius: int = 13) -> jax.Array:
+    """FREAK-style retinal sampling pattern — the third binary family of the
+    reference's descriptor factory (``feature_extraction_core.cpp:51-85``;
+    FREAK reference: Alahi et al., CVPR 2012). Receptive fields sit on
+    concentric rings whose radii grow geometrically outward (retinal
+    topology: dense fovea, sparse periphery) and pairs are taken LONGEST
+    distance first — the coarse-to-fine comparison order FREAK's cascade
+    uses, and the opposite pairing rule from :func:`brisk_pattern`'s short
+    pairs. Geometry generated from the published retinal construction, not
+    copied from any table.
+
+    Returns (n_bits, 2, 2) float offsets for ``brief_descriptors``.
+    """
+    import numpy as np
+
+    n_rings = 7
+    pts = [(0.0, 0.0)]  # fovea center
+    for ri in range(n_rings):
+        # geometric radius progression: dense center, sparse periphery
+        r = patch_radius * (2.0 ** (ri + 1) - 1.0) / (2.0 ** n_rings - 1.0)
+        n = 6
+        for i in range(n):
+            th = 2.0 * np.pi * i / n + (np.pi / n) * (ri % 2)
+            pts.append((r * np.cos(th), r * np.sin(th)))
+    pts = np.asarray(pts, dtype=np.float32)  # (43, 2)
+    ii, jj = np.triu_indices(len(pts), k=1)
+    d = np.linalg.norm(pts[ii] - pts[jj], axis=-1)
+    order = np.argsort(-d, kind="stable")  # longest (coarsest) pairs first
+    sel = order[:n_bits]
+    pat = np.stack([pts[ii[sel]], pts[jj[sel]]], axis=-2)  # (n_bits, 2, 2)
+    return jnp.asarray(pat)
+
+
 _DEFAULT_PATTERN = brief_pattern()
 _BRISK_PATTERN = brisk_pattern()
+_FREAK_PATTERN = freak_pattern()
 
-_PATTERNS = {"brief": _DEFAULT_PATTERN, "brisk": _BRISK_PATTERN}
+_PATTERNS = {
+    "brief": _DEFAULT_PATTERN,
+    "brisk": _BRISK_PATTERN,
+    "freak": _FREAK_PATTERN,
+}
 
 
 def brief_descriptors(

@@ -52,7 +52,27 @@ def _pad_pow2(D, U, b):
     return D, U, b, n
 
 
-def block_tridiag_factor(D: jax.Array, U: jax.Array):
+def _dense_root_inverse(Dk: jax.Array, Uk: jax.Array) -> jax.Array:
+    """Dense inverse of the remaining (m·6)×(m·6) block-tridiagonal system.
+
+    Cyclic reduction's deepest levels run batches too small to fill the
+    VPU — each is a latency-bound kernel, and there are 2·log2(m) of them
+    per CG substitution.  Cutting over to ONE dense inverse (MXU matmul
+    shapes) replaces all of them with a single matvec per apply.
+    """
+    m = Dk.shape[0]
+    A = jnp.zeros((m, 6, m, 6), Dk.dtype)
+    idx = jnp.arange(m)
+    A = A.at[idx, :, idx, :].set(Dk)
+    if m > 1:
+        A = A.at[idx[:-1], :, idx[1:], :].set(Uk[: m - 1])
+        A = A.at[idx[1:], :, idx[:-1], :].set(jnp.swapaxes(Uk[: m - 1], -1, -2))
+    A = A.reshape(m * 6, m * 6)
+    A = A + 1e-8 * jnp.eye(m * 6, dtype=Dk.dtype)
+    return jnp.linalg.inv(A)
+
+
+def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64):
     """Cyclic-reduction 'factorization' of a symmetric block-tridiagonal A.
 
     D: (n, 6, 6) diagonal blocks; U: (n, 6, 6) with U[i] = A[i, i+1]
@@ -61,6 +81,10 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array):
     matrix-dependent work (per-level 6x6 inverses + Schur products) runs
     ONCE per linearization, while each CG iteration only does the cheap
     b-dependent forward/back substitutions.
+
+    Reduction stops once ≤ ``dense_cutoff`` blocks remain; the root system
+    is then inverted densely (one (m·6)² matrix) so each apply finishes in
+    a single matvec instead of log2(m) more latency-bound tiny levels.
     """
     n_orig = D.shape[0]
     U = U.at[n_orig - 1].set(jnp.zeros((6, 6), D.dtype))
@@ -69,7 +93,7 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array):
 
     levels = []
     Dk, Uk = D, U
-    while Dk.shape[0] > 1:
+    while Dk.shape[0] > max(dense_cutoff, 1):
         De, Do = Dk[0::2], Dk[1::2]
         Ueo = Uk[0::2]          # couples even j -> odd j+1
         Uoe = Uk[1::2]          # couples odd j+1 -> even j+2
@@ -85,7 +109,7 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array):
         levels.append((Dinv_o, Ueo, Uoe))
         Dk, Uk = newD, newU
 
-    root_inv = _inv6(Dk)
+    root_inv = _dense_root_inverse(Dk, Uk)
     return (levels, root_inv, n_orig)
 
 
@@ -111,7 +135,11 @@ def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
             - jnp.einsum("nij,njk,nk->ni", Ueo, Dinv_o, bo, precision=_PREC)
         )
 
-    x = jnp.einsum("nij,nj->ni", root_inv, bk, precision=_PREC)
+    # dense root solve: one matvec over the remaining m blocks
+    m_root = root_inv.shape[0] // 6
+    x = jnp.einsum(
+        "ij,j->i", root_inv, bk.reshape(-1), precision=_PREC
+    ).reshape(m_root, 6)
 
     for (Dinv_o, Ueo, Uoe), bo in zip(reversed(levels), reversed(b_levels)):
         m = 2 * Ueo.shape[0]

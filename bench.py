@@ -117,6 +117,49 @@ def bench_keyframe_pipeline(reps=10, n_cams=1, feats=256):
     return (time.perf_counter() - t0) / len(frames[3:])
 
 
+def bench_ate(n_frames=48):
+    """Trajectory-quality rung (BASELINE.md: g2o-equivalent ATE on offline
+    sequences): a drifting out-and-back simulated RGB-D sequence; reports
+    SLAM ATE vs raw-odometry ATE (both RMSE after alignment, meters).
+    The reference's own verification is exactly this kind of dataset
+    playback (SURVEY.md §4, ``iti_slam_launch/launch/dataset.launch``)."""
+    import jax.numpy as jnp
+
+    from uzliti_slam_tpu import pipeline
+    from uzliti_slam_tpu.config import (
+        EdgeEstimationConfig, KeyframeConfig, SlamConfig,
+    )
+    from uzliti_slam_tpu.io import simulator, synthetic
+
+    cfg = SlamConfig(
+        node_capacity=64, edge_capacity=512, feats_per_node=64, scan_bins=90,
+        keyframe=KeyframeConfig(new_node_distance=0.2),
+        estimation=EdgeEstimationConfig(min_consensus=8, min_matching_score=6.0),
+    )
+    world = simulator.WallWorld(img_h=96, img_w=128)
+    frames = simulator.simulate_sequence(
+        world, n_frames=n_frames, odom_drift=0.06, length=5.0,
+    )
+    slam = pipeline.Slam(cfg, cam=world.cam, cam_pose=simulator.cam_extrinsic())
+    slam.optimize_every = 8
+    for fr in frames:
+        slam.add_frame(
+            np.asarray(fr["image"]), np.asarray(fr["depth"]),
+            np.asarray(fr["odom_pose"]), float(fr["stamp"]),
+        )
+    slam.optimize()
+    poses, valid = slam.trajectory()
+    g = slam.state.graph
+    v = np.asarray(valid)
+    stamps = np.asarray(g.stamp[: v.shape[0]])[v].astype(int)
+    est = jnp.asarray(np.asarray(poses)[v])
+    gt = jnp.stack([frames[s]["gt_pose"] for s in stamps])
+    odom = jnp.stack([frames[s]["odom_pose"] for s in stamps])
+    ate_slam = float(synthetic.ate_rmse(est, gt))
+    ate_odom = float(synthetic.ate_rmse(odom, gt))
+    return ate_slam, ate_odom
+
+
 def bench_epoch_500_rgbd_laser(reps=5):
     """500-node RGBD+laser optimization epoch: visual closures + laser
     edges routed through the cluster filter + chain-preconditioned solve —
@@ -204,6 +247,11 @@ def main():
     t = bench_batched_instances(4096, 64, 5, reps=3)
     details["batched_4096x64n_ms"] = round(1e3 * t, 2)
     details["batched_instance_solves_per_sec"] = round(4096 / t, 0)
+
+    # --- trajectory quality: ATE on a drifting offline sequence ---
+    ate_slam, ate_odom = bench_ate()
+    details["ate_slam_m"] = round(ate_slam, 4)
+    details["ate_odometry_m"] = round(ate_odom, 4)
 
     # --- epoch rung: 500-node RGBD+laser (filter + solve as one dispatch) ---
     t = bench_epoch_500_rgbd_laser(reps=5)

@@ -287,6 +287,67 @@ class TestFreakFamily:
         assert not np.array_equal(np.asarray(d1), np.asarray(d3))
 
 
+class TestSiftFamily:
+    """Float descriptor family (reference descriptor-type factory enums
+    SURF=5 / SIFT=6, Features.msg:1-15; matched by L2 as the reference's
+    BFMatcher switches norms for float types)."""
+
+    def test_shapes_and_normalization(self):
+        img = blob_image(noise_key=KEY)
+        kps, desc = features.detect_and_describe(
+            img, max_keypoints=64, n_levels=1, descriptor="sift"
+        )
+        assert desc.shape == (64, 128)
+        assert desc.dtype == jnp.float32
+        norms = np.linalg.norm(np.asarray(desc), axis=-1)
+        v = np.asarray(kps.valid)
+        # unit L2 (clipped-renormalized) for real keypoints
+        np.testing.assert_allclose(norms[v], 1.0, atol=1e-3)
+        # clipped at 0.2 BEFORE the final renormalization, so entries stay
+        # bounded well below 1 (illumination robustness)
+        assert np.asarray(desc).max() < 0.5
+
+    def test_sift_descriptors_match_under_shift(self):
+        img = blob_image()
+        k1, d1 = features.detect_and_describe(img, 64, n_levels=1, descriptor="sift")
+        sh = jnp.roll(img, 3, axis=1)
+        k2, d2 = features.detect_and_describe(sh, 64, n_levels=1, descriptor="sift")
+        mi, ok, dist = matching.match_descriptors_l2(
+            d1, d2, valid_a=k1.valid, valid_b=k2.valid, ratio=0.9,
+        )
+        assert int(jnp.sum(ok)) >= 10
+        du = k2.uv[mi][:, 0] - k1.uv[:, 0]
+        med = float(jnp.median(jnp.where(ok, du, jnp.nan)[ok]))
+        assert abs(med - 3.0) < 1.5
+
+    def test_rotation_steering(self):
+        """Descriptors of the same keypoints are stable under a global 90°
+        image rotation (orientation-steered sampling grid)."""
+        img = blob_image(160, 160, 20, seed=5)
+        k1, d1 = features.detect_and_describe(img, 48, n_levels=1, descriptor="sift")
+        rot = jnp.rot90(img)  # +90° CCW
+        k2, d2 = features.detect_and_describe(rot, 48, n_levels=1, descriptor="sift")
+        mi, ok, dist = matching.match_descriptors_l2(
+            d1, d2, valid_a=k1.valid, valid_b=k2.valid, ratio=0.85,
+        )
+        okn = np.asarray(ok)
+        assert okn.sum() >= 8
+        # matched keypoints map through the rotation: (u,v) -> (v, W-1-u)
+        h, w = img.shape
+        uv1 = np.asarray(k1.uv)[okn]
+        uv2 = np.asarray(k2.uv)[np.asarray(mi)[okn]]
+        pred = np.stack([uv1[:, 1], (w - 1) - uv1[:, 0]], axis=-1)
+        d = np.linalg.norm(pred - uv2, axis=-1)
+        assert np.median(d) < 2.0
+
+    def test_l2_matrix_matches_numpy(self):
+        a = np.random.default_rng(0).normal(size=(17, 128)).astype(np.float32)
+        b = np.random.default_rng(1).normal(size=(23, 128)).astype(np.float32)
+        dm = np.asarray(matching.l2_matrix(jnp.asarray(a), jnp.asarray(b)))
+        ref = ((a[:, None] - b[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(dm, ref, rtol=1e-4, atol=1e-3)
+
+
 class TestDistortion:
     """Radial/tangential distortion model + rectification (VERDICT r1 #6;
     reference rectifies before feature/GIST work,

@@ -27,8 +27,13 @@ class FeatureExtractionConfig:
     scale_factor: float = 1.2
     grid: int = 4
     use_depth_refinement: bool = True
-    # binary descriptor family ("brief" | "brisk" | "freak") — the
-    # reference's descriptor-type factory (feature_extraction_core.cpp:51-85)
+    # descriptor family ("brief" | "brisk" | "freak" binary, "sift" float)
+    # — the reference's descriptor-type factory
+    # (feature_extraction_core.cpp:51-85, Features.msg enums). The live
+    # pipeline banks are binary (Hamming); "sift" is the float branch
+    # matched by matching.match_descriptors_l2, available to offline /
+    # custom pipelines exactly as the reference's SURF/SIFT enum values
+    # are never selected by its deployment yamls.
     descriptor: str = "brief"
     # undistort image+depth before feature/GIST work (the reference
     # rectifies when distortion coefficients are nonzero,

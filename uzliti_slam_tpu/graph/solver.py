@@ -51,6 +51,15 @@ class SolverConfig:
                                   # default: strictly stronger than jacobi,
                                   # since U degrades to 0 without a spine)
                                   # | "jacobi"
+    precond_refresh: int = 5      # LM iterations between chain re-factors.
+                                  # A stale (previous-linearization) factor
+                                  # is still SPD, so PCG stays correct — it
+                                  # only costs a little CG convergence. The
+                                  # factor dominates the LM iteration at
+                                  # >=10k nodes, so refactoring every 5th
+                                  # iteration is a large win there. Pick a
+                                  # divisor of `iterations` (trailing
+                                  # partial chunks run masked no-op steps).
 
 
 class SolveStats(NamedTuple):
@@ -255,64 +264,101 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
     Returns (poses, final_lambda, chi2_history, accepted).
     """
     chi2_0 = total_chi2(g, g.pose, config.huber_delta, reduce)
+    use_chain = config.preconditioner == "chain"
 
-    def lm_step(carry, _):
-        poses, lam, chi2_cur = carry
+    def build_chain_factor(poses, lam):
+        """Factor the damped block-tridiagonal part at the CURRENT iterate.
+
+        Re-run once per ``precond_refresh`` LM iterations — the factor is
+        the dominant per-iteration cost at >=10k nodes, and a slightly
+        stale SPD preconditioner costs only CG convergence rate, never
+        correctness.
+        """
+        from uzliti_slam_tpu.graph import tridiag
+
         gg = g._replace(pose=poses)
-        r, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
-        grad = _gradient(gg, r, Ji, Jj, W, free, reduce)
+        _, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
         Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W, reduce)
-        # Marquardt scaling: damp with λ·diag(H) (floored for stability).
         hdiag = jax.vmap(jnp.diag)(Hblocks)
         damp = lam * jnp.maximum(hdiag, 1e-6)
-        hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
-        if config.preconditioner == "chain":
-            from uzliti_slam_tpu.graph import tridiag
-
-            U = tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free)
-            U = reduce(U)
-            eye = jnp.eye(6)
-            Dm = jnp.where(
-                free[:, None, None] > 0,
-                Hblocks + jax.vmap(jnp.diag)(damp),
-                eye,
-            )
-            # factor ONCE per linearization; CG iterations only substitute
-            chain_factor = tridiag.block_tridiag_factor(Dm, U)
-            apply_minv = lambda r: tridiag.block_tridiag_apply(chain_factor, r)
-        else:
-            Minv = _block_jacobi_inverse(Hblocks, damp, free)
-            apply_minv = lambda r: jnp.einsum("nij,nj->ni", Minv, r, precision=_PREC)
-        if config.optimize_xy_only:
-            # project the whole linear solve onto the x/y/yaw subspace:
-            # gradient, operator and preconditioner all see P A P — masked
-            # coordinates carry zero residual and zero update
-            cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
-            base_hvp, base_minv = hvp, apply_minv
-            hvp = lambda v: base_hvp(v * cmask) * cmask
-            apply_minv = lambda r: base_minv(r * cmask) * cmask
-            grad = grad * cmask
-        dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations, config.pcg_tol)
-        dx = dx * free[:, None]
-
-        cand = lie.pose_retract(poses, dx)
-        chi2_new = total_chi2(g, cand, config.huber_delta, reduce)
-        accept = chi2_new < chi2_cur
-        poses = jnp.where(accept, cand, poses)
-        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
-        lam = jnp.clip(
-            jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
-            config.lambda_min,
-            config.lambda_max,
+        U = reduce(tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free))
+        eye = jnp.eye(6)
+        Dm = jnp.where(
+            free[:, None, None] > 0,
+            Hblocks + jax.vmap(jnp.diag)(damp),
+            eye,
         )
-        return (poses, lam, chi2_cur), (chi2_cur, accept)
+        return tridiag.block_tridiag_factor(Dm, U)
 
-    (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
-        lm_step,
-        (g.pose, jnp.asarray(config.lambda_init), chi2_0),
-        None,
-        length=config.iterations,
-    )
+    def make_lm_step(chain_factor):
+        def lm_step(carry, step_idx):
+            poses, lam, chi2_cur = carry
+            gg = g._replace(pose=poses)
+            r, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
+            grad = _gradient(gg, r, Ji, Jj, W, free, reduce)
+            Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W, reduce)
+            # Marquardt scaling: damp with λ·diag(H) (floored for stability).
+            hdiag = jax.vmap(jnp.diag)(Hblocks)
+            damp = lam * jnp.maximum(hdiag, 1e-6)
+            hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
+            if chain_factor is not None:
+                from uzliti_slam_tpu.graph import tridiag
+
+                apply_minv = lambda r: tridiag.block_tridiag_apply(chain_factor, r)
+            else:
+                Minv = _block_jacobi_inverse(Hblocks, damp, free)
+                apply_minv = lambda r: jnp.einsum("nij,nj->ni", Minv, r, precision=_PREC)
+            if config.optimize_xy_only:
+                # project the whole linear solve onto the x/y/yaw subspace:
+                # gradient, operator and preconditioner all see P A P — masked
+                # coordinates carry zero residual and zero update
+                cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+                base_hvp, base_minv = hvp, apply_minv
+                hvp = lambda v: base_hvp(v * cmask) * cmask
+                apply_minv = lambda r: base_minv(r * cmask) * cmask
+                grad = grad * cmask
+            dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations, config.pcg_tol)
+            dx = dx * free[:, None]
+
+            cand = lie.pose_retract(poses, dx)
+            chi2_new = total_chi2(g, cand, config.huber_delta, reduce)
+            # steps past config.iterations (trailing partial chunk) are no-ops
+            do = step_idx < config.iterations
+            accept = (chi2_new < chi2_cur) & do
+            poses = jnp.where(accept, cand, poses)
+            chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+            lam_next = jnp.clip(
+                jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
+                config.lambda_min,
+                config.lambda_max,
+            )
+            lam = jnp.where(do, lam_next, lam)
+            return (poses, lam, chi2_cur), (chi2_cur, accept)
+
+        return lm_step
+
+    init = (g.pose, jnp.asarray(config.lambda_init), chi2_0)
+    if use_chain:
+        refresh = max(1, min(int(config.precond_refresh), config.iterations))
+        n_chunks = -(-config.iterations // refresh)
+
+        def chunk(carry, chunk_idx):
+            poses, lam, _ = carry
+            factor = build_chain_factor(poses, lam)
+            steps = chunk_idx * refresh + jnp.arange(refresh)
+            return jax.lax.scan(make_lm_step(factor), carry, steps)
+
+        (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
+            chunk, init, jnp.arange(n_chunks)
+        )
+        chi2_hist = chi2_hist.reshape(-1)[: config.iterations]
+        accepted = accepted.reshape(-1)[: config.iterations]
+    else:
+        (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
+            make_lm_step(None),
+            init,
+            jnp.arange(config.iterations),
+        )
     return poses, lam, jnp.concatenate([chi2_0[None], chi2_hist]), accepted
 
 

@@ -321,14 +321,20 @@ def detect_and_describe(
     divisibility constraints; reference default 300 features,
     ``FeatureExtraction.cfg:11``). Keypoint uv are in level-0 pixels.
 
-    ``descriptor`` selects the binary family — "brief" (steered random
-    pairs) or "brisk" (ring-pattern short pairs) — the reference's
-    descriptor-type factory (``feature_extraction_core.cpp:51-85``). Both
-    yield 256-bit packed descriptors matched by the same Hamming path.
+    ``descriptor`` selects the family — binary "brief" (steered random
+    pairs), "brisk" (ring-pattern short pairs), "freak" (retinal long
+    pairs), or float "sift" (gradient-histogram, (K, 128) float32 matched
+    by L2) — the reference's descriptor-type factory
+    (``feature_extraction_core.cpp:51-85``, enums ``Features.msg:1-15``).
+    Binary families yield 256-bit packed descriptors matched by the same
+    Hamming path.
     """
-    if descriptor not in _PATTERNS:
+    if descriptor == "sift":
+        pattern = None
+    elif descriptor in _PATTERNS:
+        pattern = _PATTERNS[descriptor]
+    else:
         raise ValueError(f"unknown descriptor family {descriptor!r}")
-    pattern = _PATTERNS[descriptor]
     img = img.astype(jnp.float32)
     k_level = max(max_keypoints // n_levels, 1)
     all_kp = []
@@ -339,7 +345,10 @@ def detect_and_describe(
         score = nms(fast_score(cur, threshold))
         uv, resp, valid = select_topk_grid(score, k_level, grid)
         ang = intensity_centroid_angles(cur, uv)
-        desc = brief_descriptors(cur, uv, ang, pattern)
+        if descriptor == "sift":
+            desc = sift_descriptors(cur, uv, ang)
+        else:
+            desc = brief_descriptors(cur, uv, ang, pattern)
         all_kp.append(
             Keypoints(
                 uv=uv * scale,
@@ -369,8 +378,81 @@ def detect_and_describe(
             scale=jnp.concatenate([kps.scale, jnp.ones(short)]),
             valid=jnp.concatenate([kps.valid, jnp.zeros(short, dtype=bool)]),
         )
-        desc = jnp.concatenate([desc, jnp.zeros((short, 32), dtype=jnp.uint8)])
+        desc = jnp.concatenate(
+            [desc, jnp.zeros((short,) + desc.shape[1:], dtype=desc.dtype)]
+        )
     return kps, desc
+
+
+def sift_descriptors(
+    img: jax.Array,
+    uv: jax.Array,
+    angles: jax.Array,
+    patch_radius: float = 8.0,
+) -> jax.Array:
+    """SIFT-family float descriptor: 4x4 spatial cells x 8 orientation bins
+    of gradient-magnitude histograms over a rotation-steered 16x16 sample
+    grid, Gaussian-weighted, L2-normalized with 0.2 clipping (Lowe, IJCV
+    2004). This is the float branch of the reference's descriptor-type
+    factory (``feature_extraction_core.cpp:51-85``; ``Features.msg`` enums
+    SURF=5, SIFT=6) — matched by L2 (:func:`matching.match_descriptors_l2`)
+    instead of Hamming, exactly as the reference's BFMatcher switches norms
+    for float descriptor types.
+
+    Batched TPU formulation: all K keypoints sample their rotated grids in
+    one gather; gradients are finite differences INSIDE the rotated frame,
+    so gradient orientations are already keypoint-relative; histograms are
+    one-hot einsums (no scatter).
+
+    Returns (K, 128) float32.
+    """
+    sm = _sep_blur(img.astype(jnp.float32), 1)
+    h, w = img.shape
+    G = 16  # sample grid
+    step = 2.0 * patch_radius / G
+    gy = (jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0) * step
+    gx = (jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0) * step
+    dyy, dxx = jnp.meshgrid(gy, gx, indexing="ij")  # (G+2, G+2) incl. 1-px halo
+
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    rx = ca[:, None, None] * dxx - sa[:, None, None] * dyy
+    ry = sa[:, None, None] * dxx + ca[:, None, None] * dyy
+    sx = jnp.clip(uv[:, None, None, 0] + rx, 0, w - 1)
+    sy = jnp.clip(uv[:, None, None, 1] + ry, 0, h - 1)
+    xi = jnp.round(sx).astype(jnp.int32)
+    yi = jnp.round(sy).astype(jnp.int32)
+    patch = sm[yi, xi]  # (K, G+2, G+2) in the rotated frame
+
+    # central differences in the rotated frame -> keypoint-relative gradients
+    gx_ = 0.5 * (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2])
+    gy_ = 0.5 * (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1])
+    mag = jnp.sqrt(gx_ * gx_ + gy_ * gy_ + 1e-12)
+    ori = jnp.arctan2(gy_, gx_)  # [-pi, pi]
+
+    # Gaussian window over the patch (sigma = half patch width)
+    yy = jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0
+    wg = jnp.exp(-(yy[:, None] ** 2 + yy[None, :] ** 2) / (2.0 * (G / 2.0) ** 2))
+    mag = mag * wg[None]
+
+    # soft orientation binning into 8 bins (linear interp between bins)
+    nb = 8
+    t = (ori + jnp.pi) * (nb / (2.0 * jnp.pi))  # [0, nb]
+    b0 = jnp.floor(t).astype(jnp.int32) % nb
+    frac = t - jnp.floor(t)
+    onehot0 = jax.nn.one_hot(b0, nb) * (1.0 - frac)[..., None]
+    onehot1 = jax.nn.one_hot((b0 + 1) % nb, nb) * frac[..., None]
+    hist_soft = (onehot0 + onehot1) * mag[..., None]  # (K, G, G, nb)
+
+    # 4x4 spatial cells: sum each 4x4 sample block
+    K = uv.shape[0]
+    cells = hist_soft.reshape(K, 4, 4, 4, 4, nb).sum(axis=(2, 4))  # (K,4,4,nb)
+    desc = cells.reshape(K, 128)
+
+    # SIFT normalization: unit L2, clip 0.2, renormalize
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    return desc
 
 
 def binary_gist(img: jax.Array, roll_angle: jax.Array | float = 0.0) -> jax.Array:

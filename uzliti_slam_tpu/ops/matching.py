@@ -131,3 +131,44 @@ def match_descriptors(
     if valid_a is not None:
         ok &= valid_a
     return mi, ok, d[:, 0]
+
+
+def l2_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise squared-L2 distances between float descriptors.
+
+    a: (Na, D), b: (Nb, D) float32. One (Na×D)·(D×Nb) MXU contraction:
+    ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·bᵀ — the float-descriptor norm the
+    reference's BFMatcher uses for SURF/SIFT types
+    (``feature_extraction_core.cpp:51-85`` descriptor factory,
+    ``Features.msg`` enums SURF=5 / SIFT=6). Clamped at 0 (cancellation).
+    """
+    na = jnp.sum(a * a, axis=-1, keepdims=True)
+    nb = jnp.sum(b * b, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(na + nb.T - 2.0 * cross, 0.0)
+
+
+def match_descriptors_l2(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array | None = None,
+    valid_b: jax.Array | None = None,
+    ratio: float = 0.8,
+    max_dist: float | None = None,
+):
+    """Float-descriptor matching: squared-L2 matmul → 2-NN → ratio test.
+
+    The ratio applies to EUCLIDEAN distance (Lowe's 0.8 convention), so it
+    is squared before comparing against the squared-distance 2-NN results.
+    Returns (match_idx, ok, best_sqdist) each shaped (Na,).
+    """
+    dm = l2_matrix(desc_a, desc_b)
+    d, idx = knn_match(dm, valid_a, valid_b, k=2)
+    mi, ok = ratio_test(d, idx, ratio * ratio,
+                        None if max_dist is None else max_dist * max_dist)
+    if valid_a is not None:
+        ok &= valid_a
+    return mi, ok, d[:, 0]

@@ -51,7 +51,11 @@ def _shift2d(img: jax.Array, dy: int, dx: int) -> jax.Array:
     return out.at[yd, xd].set(img[ys, xs])
 
 
-def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
+def fast_score(
+    img: jax.Array,
+    threshold: float = 20.0,
+    bounds: tuple[jax.Array, jax.Array] | None = None,
+) -> jax.Array:
     """FAST-9/16 corner response map.
 
     Segment test: ≥9 contiguous circle pixels all brighter (or all darker)
@@ -59,6 +63,10 @@ def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     brighter/darker circle pixels (AORB's tunable-threshold FAST,
     ``external/aorb/aorb.cpp``). Runs as 16 static shifts + cumsum window
     reduction — no gathers, fully fused on the VPU.
+
+    ``bounds``: optional traced (h_real, w_real) when ``img`` is a padded
+    canvas (the batched-pyramid path) — the interior/border suppression
+    then clips to the REAL region, so padding can never spawn keypoints.
     """
     offs = [(int(dy), int(dx)) for dy, dx in _FAST_OFFSETS.tolist()]
     ring = jnp.stack([_shift2d(img, -dy, -dx) for (dy, dx) in offs])  # (16,H,W)
@@ -67,12 +75,15 @@ def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     darker = diff < -threshold
 
     def contiguous9(mask):
-        # wraparound window-of-9 all-true test via cumsum over a tiled axis
-        m2 = jnp.concatenate([mask, mask[:8]], axis=0).astype(jnp.int32)
-        c = jnp.cumsum(m2, axis=0)
-        c = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
-        win = c[9:] - c[:-9]  # (16, H, W) window sums
-        return jnp.max(win, axis=0) >= 9
+        # wraparound window-of-9 all-true test by AND-doubling on booleans:
+        # a_k[i] = AND(mask[i..i+2^k-1]); win9 = a_8 & mask[i+8]. Four
+        # rolled ANDs on (16,H,W) bools — much cheaper on the VPU than the
+        # previous int32 cumsum over a 24-long tiled axis.
+        a = mask & jnp.roll(mask, -1, axis=0)          # runs of 2
+        a = a & jnp.roll(a, -2, axis=0)                # runs of 4
+        a = a & jnp.roll(a, -4, axis=0)                # runs of 8
+        win9 = a & jnp.roll(mask, -8, axis=0)          # runs of 9
+        return jnp.any(win9, axis=0)
 
     is_corner = contiguous9(brighter) | contiguous9(darker)
     score_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
@@ -83,10 +94,11 @@ def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     # plus the blur radius, so anything closer would sample (extrapolate)
     # outside the image
     h, w = img.shape
+    h_real, w_real = (h, w) if bounds is None else bounds
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     b = 21
-    interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    interior = (yy >= b) & (yy < h_real - b) & (xx >= b) & (xx < w_real - b)
     return jnp.where(is_corner & interior, score, 0.0)
 
 
@@ -114,7 +126,11 @@ def select_topk_grid(
     # crop to multiple of grid, reshape into cells
     sc = score[: gh * grid, : gw * grid].reshape(grid, gh, grid, gw)
     sc = sc.transpose(0, 2, 1, 3).reshape(grid * grid, gh * gw)
-    vals, idx = jax.lax.top_k(sc, k_cell)  # per cell
+    # approx_max_k lowers to the TPU-optimized PartialReduce op (Chern et
+    # al. 2022) instead of a full sort; recall≈0.95 only reshuffles which
+    # near-tied corners are kept — selection here is heuristic anyway
+    # (exact top_k kept the keyframe front-end measurably slower)
+    vals, idx = jax.lax.approx_max_k(sc, k_cell)  # per cell
     cy = idx // gw
     cx = idx % gw
     gy = (jnp.arange(grid * grid) // grid)[:, None]
@@ -163,16 +179,19 @@ def intensity_centroid_angles(img: jax.Array, uv: jax.Array, radius: int = 7) ->
     dy = jax.lax.broadcasted_iota(jnp.float32, (k, k), 0) - radius
     dx = jax.lax.broadcasted_iota(jnp.float32, (k, k), 1) - radius
     circ = (dx * dx + dy * dy) <= radius * radius
+    h, w = img.shape
+    imf = img.reshape(-1)
 
-    def one(pt):
-        y0 = jnp.clip(pt[1].astype(jnp.int32) - radius, 0, img.shape[0] - k)
-        x0 = jnp.clip(pt[0].astype(jnp.int32) - radius, 0, img.shape[1] - k)
-        patch = jax.lax.dynamic_slice(img, (y0, x0), (k, k)) * circ
-        m01 = jnp.sum(dy * patch)
-        m10 = jnp.sum(dx * patch)
-        return jnp.arctan2(m01, m10)
-
-    return jax.vmap(one)(uv)
+    # one linearized gather of all K patches ((K,k,k) flat indices) — the
+    # vmapped dynamic_slice version lowered to K separate row gathers
+    y0 = jnp.clip(uv[:, 1].astype(jnp.int32) - radius, 0, h - k)
+    x0 = jnp.clip(uv[:, 0].astype(jnp.int32) - radius, 0, w - k)
+    yy = y0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 1)
+    xx = x0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 2)
+    patches = jnp.take(imf, yy * w + xx) * circ[None]
+    m01 = jnp.sum(dy[None] * patches, axis=(1, 2))
+    m10 = jnp.sum(dx[None] * patches, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
 
 
 def brief_pattern(n_bits: int = 256, patch_radius: int = 13, seed: int = 1234) -> jax.Array:
@@ -287,12 +306,16 @@ def brief_descriptors(
     sx = uv[:, None, None, 0] + rx
     sy = uv[:, None, None, 1] + ry
 
+    smf = sm.reshape(-1)
+
     def sample(ys, xs):
         # nearest-pixel sampling on the smoothed image, as ORB's
-        # GET_VALUE(cvRound) — one gather instead of four
+        # GET_VALUE(cvRound) — one LINEARIZED gather (row-major flat index)
+        # instead of a 2-D gather: a flat 1-D take lowers to the fast
+        # dynamic-gather path on TPU
         xi = jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32)
-        return sm[yi, xi]
+        return jnp.take(smf, yi * w + xi)
 
     va = sample(sy[..., 0], sx[..., 0])
     vb = sample(sy[..., 1], sx[..., 1])
@@ -337,36 +360,39 @@ def detect_and_describe(
         raise ValueError(f"unknown descriptor family {descriptor!r}")
     img = img.astype(jnp.float32)
     k_level = max(max_keypoints // n_levels, 1)
-    all_kp = []
-    all_desc = []
+
+    def one_level(canvas, h_real, w_real):
+        score = nms(fast_score(canvas, threshold, bounds=(h_real, w_real)))
+        uv, resp, valid = select_topk_grid(score, k_level, grid)
+        ang = intensity_centroid_angles(canvas, uv)
+        if descriptor == "sift":
+            d = sift_descriptors(canvas, uv, ang)
+        else:
+            d = brief_descriptors(canvas, uv, ang, pattern)
+        return uv, resp, ang, valid, d
+
+    # Sequential pyramid: each level's arrays shrink by scale_factor², so
+    # the total pixel work is ~2.5x one level (a level-batched padded-
+    # canvas variant was measured SLOWER on TPU: the padding waste on
+    # fast_score's per-pixel compute outweighs the op-count savings).
+    all_out = []
     cur = img
     scale = 1.0
     for lvl in range(n_levels):
-        score = nms(fast_score(cur, threshold))
-        uv, resp, valid = select_topk_grid(score, k_level, grid)
-        ang = intensity_centroid_angles(cur, uv)
-        if descriptor == "sift":
-            desc = sift_descriptors(cur, uv, ang)
-        else:
-            desc = brief_descriptors(cur, uv, ang, pattern)
-        all_kp.append(
-            Keypoints(
-                uv=uv * scale,
-                response=resp,
-                angle=ang,
-                scale=jnp.full((k_level,), scale),
-                valid=valid,
-            )
-        )
-        all_desc.append(desc)
+        h_l, w_l = cur.shape
+        uv, resp, ang, valid, d = one_level(cur, jnp.int32(h_l), jnp.int32(w_l))
+        all_out.append((uv * scale, resp, ang,
+                        jnp.full((k_level,), scale), valid, d))
         if lvl + 1 < n_levels:
             scale *= scale_factor
             nh = max(int(round(img.shape[0] / scale)), 32)
             nw = max(int(round(img.shape[1] / scale)), 32)
             cur = jax.image.resize(img, (nh, nw), "linear")
 
-    kps = Keypoints(*[jnp.concatenate([getattr(k, f) for k in all_kp]) for f in Keypoints._fields])
-    desc = jnp.concatenate(all_desc)
+    uv, resp, ang, scl, valid, desc = (
+        jnp.concatenate([o[i] for o in all_out]) for i in range(6)
+    )
+    kps = Keypoints(uv=uv, response=resp, angle=ang, scale=scl, valid=valid)
     # honor the K == max_keypoints contract exactly: pad the remainder
     # (max_keypoints % n_levels) with invalid slots
     short = max_keypoints - desc.shape[0]

@@ -143,3 +143,62 @@ class TestDeltaLog:
                 f.write(b"\x47\x4f\x4c\x55\x01\x00")  # torn header
             recs = list(native.DeltaLog.read_all(p))
             assert recs == [(1, b"good-record")]
+
+
+class TestFramePrefetcher:
+    """Native async data loader (runtime/prefetch.cpp): in-order delivery,
+    bounded in-flight window, monocular mode, python fallback parity."""
+
+    def _make_pngs(self, tmp_path, n=5):
+        from PIL import Image as PILImage
+        paths = []
+        for i in range(n):
+            a = (np.arange(32 * 40).reshape(32, 40) % 199 + i).astype(np.uint8)
+            p = str(tmp_path / f"f{i}.png")
+            PILImage.fromarray(a).save(p)
+            paths.append(p)
+        return paths
+
+    def _drive(self, pf, paths):
+        for p in paths[:2]:
+            pf.submit(p, p)
+        out = []
+        for i in range(len(paths)):
+            rgb, dep = pf.next()
+            if i + 2 < len(paths):
+                pf.submit(paths[i + 2], paths[i + 2])
+            out.append((rgb, dep))
+        pf.close()
+        return out
+
+    def test_in_order_and_content(self, tmp_path):
+        from uzliti_slam_tpu.runtime import native
+        paths = self._make_pngs(tmp_path)
+        out = self._drive(native.FramePrefetcher(n_threads=2, capacity=3), paths)
+        for i, (rgb, dep) in enumerate(out):
+            ref = (np.arange(32 * 40).reshape(32, 40) % 199 + i).astype(np.float32)
+            np.testing.assert_allclose(rgb, ref)
+            np.testing.assert_allclose(dep, ref)
+
+    def test_python_fallback_parity(self, tmp_path, monkeypatch):
+        from uzliti_slam_tpu.runtime import native
+        paths = self._make_pngs(tmp_path)
+        pf = native.FramePrefetcher.__new__(native.FramePrefetcher)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_build_failed", True)
+        pf.__init__(n_threads=2, capacity=3)
+        assert pf._lib is None
+        out = self._drive(pf, paths)
+        for i, (rgb, dep) in enumerate(out):
+            ref = (np.arange(32 * 40).reshape(32, 40) % 199 + i).astype(np.float32)
+            np.testing.assert_allclose(rgb, ref)
+            np.testing.assert_allclose(dep, ref)
+
+    def test_monocular(self, tmp_path):
+        from uzliti_slam_tpu.runtime import native
+        paths = self._make_pngs(tmp_path, n=1)
+        pf = native.FramePrefetcher(n_threads=1, capacity=2)
+        pf.submit(paths[0], None)
+        rgb, dep = pf.next()
+        pf.close()
+        assert dep is None and rgb.shape == (32, 40)

@@ -160,18 +160,33 @@ def load_sequence(root: str, max_frames: int | None = None, stride: int = 1):
     if max_frames:
         pairs = pairs[:max_frames]
     gt_stamps = np.array([g[0] for g in gt]) if gt else None
-    # native C++ decoder when built (runtime/png_decode.cpp); python fallback
+    # Async native data loader (runtime/prefetch.cpp worker pool; python-
+    # thread fallback): decode runs AHEAD of the consumer so host IO
+    # overlaps device compute — the dataset analog of the reference's C++
+    # camera listeners (feature_extraction_service_node.h:44-58).
     from uzliti_slam_tpu.runtime import native
-    decode = native.decode_png_gray if native.available() else read_png_gray
-    for (srgb, prgb), (sdep, pdep) in pairs:
-        img = decode(os.path.join(root, prgb))
-        depth = decode(os.path.join(root, pdep)) / DEPTH_SCALE
-        pose = None
-        if gt:
-            gi = int(np.argmin(np.abs(gt_stamps - srgb)))
-            if abs(gt_stamps[gi] - srgb) < 0.05:
-                pose = gt[gi][1]
-        yield dict(image=img, depth=depth, stamp=srgb, gt_pose=pose)
+
+    ahead = 4
+    pf = native.FramePrefetcher(n_threads=2, capacity=ahead + 2,
+                                max_pixels=1 << 21)
+    try:
+        for p in pairs[:ahead]:
+            pf.submit(os.path.join(root, p[0][1]), os.path.join(root, p[1][1]))
+        for i, ((srgb, prgb), (sdep, pdep)) in enumerate(pairs):
+            img, depth = pf.next()
+            if i + ahead < len(pairs):
+                nxt = pairs[i + ahead]
+                pf.submit(os.path.join(root, nxt[0][1]),
+                          os.path.join(root, nxt[1][1]))
+            depth = depth / DEPTH_SCALE
+            pose = None
+            if gt:
+                gi = int(np.argmin(np.abs(gt_stamps - srgb)))
+                if abs(gt_stamps[gi] - srgb) < 0.05:
+                    pose = gt[gi][1]
+            yield dict(image=img, depth=depth, stamp=srgb, gt_pose=pose)
+    finally:
+        pf.close()
 
 
 def write_trajectory(path: str, stamps, poses) -> None:

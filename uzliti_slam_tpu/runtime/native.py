@@ -78,6 +78,19 @@ def _load():
         lib.deltalog_next.restype = ctypes.c_long
         lib.deltalog_next.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+        lib.prefetch_create.restype = ctypes.c_void_p
+        lib.prefetch_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.prefetch_submit.restype = ctypes.c_long
+        lib.prefetch_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.prefetch_next.restype = ctypes.c_int
+        lib.prefetch_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.prefetch_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -319,6 +332,130 @@ class DeltaLog:
                     if crc != _py_crc(payload):
                         break
                     yield rtype, payload
+
+
+# ---------------------------------------------------------------------------
+# Frame prefetcher (native data loader)
+# ---------------------------------------------------------------------------
+
+
+class FramePrefetcher:
+    """Order-preserving async (rgb, depth) PNG loader.
+
+    Native worker pool (runtime/prefetch.cpp) decoding ahead of the TPU
+    pipeline — the dataset-playback analog of the reference's C++ camera
+    listeners (``feature_extraction_service_node.h:44-58``). Python-thread
+    fallback (same semantics) when the toolchain is absent.
+
+    Usage::
+
+        pf = FramePrefetcher(n_threads=2, capacity=4, max_pixels=640*480)
+        for rgb_path, dep_path in pairs: pf.submit(rgb_path, dep_path)
+        for _ in pairs: rgb, depth = pf.next()
+        pf.close()
+
+    Submission blocks once ``capacity`` frames are in flight, bounding
+    memory; ``next()`` blocks until the next frame IN SUBMISSION ORDER is
+    decoded.
+    """
+
+    def __init__(self, n_threads: int = 2, capacity: int = 4,
+                 max_pixels: int = 640 * 480):
+        self._lib = _load()
+        self._max_pixels = max_pixels
+        if self._lib:
+            self._h = self._lib.prefetch_create(n_threads, capacity)
+        else:
+            import queue
+
+            self._cap = capacity
+            self._results: "queue.Queue" = queue.Queue()
+            self._jobs: "queue.Queue" = queue.Queue()
+            self._order = []
+            self._done = {}
+            self._next_seq = 0
+            self._next_out = 0
+            self._threads = [
+                threading.Thread(target=self._py_worker, daemon=True)
+                for _ in range(max(1, n_threads))
+            ]
+            self._cond = threading.Condition()
+            for t in self._threads:
+                t.start()
+
+    # -- python fallback machinery --
+    def _py_worker(self):
+        from uzliti_slam_tpu.io import tum
+        while True:
+            item = self._jobs.get()
+            if item is None:
+                return
+            seq, pa, pb = item
+            try:
+                a = tum.read_png_gray(pa) if pa else None
+                b = tum.read_png_gray(pb) if pb else None
+                res = (a, b)
+            except Exception as e:  # delivered at its turn
+                res = e
+            with self._cond:
+                self._done[seq] = res
+                self._cond.notify_all()
+
+    def submit(self, rgb_path: str, depth_path: str | None = None) -> int:
+        if self._lib:
+            return int(self._lib.prefetch_submit(
+                self._h, rgb_path.encode(),
+                depth_path.encode() if depth_path else None))
+        with self._cond:
+            while self._next_seq - self._next_out >= self._cap:
+                self._cond.wait()
+            seq = self._next_seq
+            self._next_seq += 1
+        self._jobs.put((seq, rgb_path, depth_path))
+        return seq
+
+    def next(self):
+        """Blocking: (rgb float32 (H,W), depth float32 (H,W) | None)."""
+        if self._lib:
+            cap = self._max_pixels
+            a = np.empty(cap, dtype=np.float32)
+            b = np.empty(cap, dtype=np.float32)
+            wa = ctypes.c_int(); ha = ctypes.c_int()
+            wb = ctypes.c_int(); hb = ctypes.c_int()
+            rc = self._lib.prefetch_next(
+                self._h,
+                a.ctypes.data_as(ctypes.c_void_p), cap,
+                ctypes.byref(wa), ctypes.byref(ha),
+                b.ctypes.data_as(ctypes.c_void_p), cap,
+                ctypes.byref(wb), ctypes.byref(hb))
+            if rc != 0:
+                raise OSError(f"prefetch_next failed ({rc})")
+            rgb = a[: wa.value * ha.value].reshape(ha.value, wa.value).copy()
+            dep = None
+            if wb.value > 0:
+                dep = b[: wb.value * hb.value].reshape(hb.value, wb.value).copy()
+            return rgb, dep
+        with self._cond:
+            seq = self._next_out
+            while seq not in self._done:
+                self._cond.wait()
+            res = self._done.pop(seq)
+            self._next_out += 1
+            self._cond.notify_all()
+        if isinstance(res, Exception):
+            raise res
+        return res
+
+    def close(self):
+        if self._lib and getattr(self, "_h", None):
+            self._lib.prefetch_destroy(self._h)
+            self._h = None
+        elif getattr(self, "_threads", None):
+            for _ in self._threads:
+                self._jobs.put(None)
+            for t in self._threads:
+                t.join(timeout=5)
+            self._threads = []
 
 
 def _py_crc(data: bytes) -> int:

@@ -19,6 +19,12 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: identical bench programs skip the remote
+# TPU compile on reruns (measurements are post-warmup, so timing is
+# unaffected — only wall time to first measurement shrinks)
+jax.config.update("jax_compilation_cache_dir", "/tmp/uzliti_slam_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 WARMUP = 2
 
 

@@ -137,36 +137,56 @@ def filter_loop_closures(
         & ((t_max - t_min) >= config.min_time_span)
     )  # (b+1,)
 
-    # Vmapped RANSAC: every candidate index doubles as a potential cluster
-    # root; only rows whose label == own index actually run a live cluster.
-    member = (labels[None, :] == jnp.arange(b)[:, None]) & valid[None, :]  # (b, b)
-    keys = jax.random.split(key, b)
+    # Vmapped RANSAC over COMPACTED cluster roots: a root is a candidate
+    # whose label equals its own index AND whose cluster passed the size/
+    # span gates. At min_cluster_size edges per live cluster there can be
+    # at most b // min_cluster_size of them — running RANSAC over all b
+    # rows (most of them dead) wasted ~min_cluster_size× the work.
+    n_roots = max(1, min(b, b // max(config.min_cluster_size, 1)))
+    is_root = (labels == jnp.arange(b)) & valid & runs[jnp.arange(b)]
+    root_slot = jnp.nonzero(is_root, size=n_roots, fill_value=-1)[0]
+    root_live = root_slot >= 0
+    root_safe = jnp.where(root_live, root_slot, 0)
+    member = (
+        (labels[None, :] == root_safe[:, None])
+        & valid[None, :]
+        & root_live[:, None]
+    )  # (n_roots, b)
+    keys = jax.random.split(key, n_roots)
 
     res = ransac.ransac_rigid_batch(
         keys,
-        jnp.broadcast_to(p_pred, (b, b, 3)),
-        jnp.broadcast_to(p_act, (b, b, 3)),
+        jnp.broadcast_to(p_pred, (n_roots, b, 3)),
+        jnp.broadcast_to(p_act, (n_roots, b, 3)),
         member,
         config.ransac_hypotheses,
         config.max_error,
         config.min_cluster_size,
     )
     # consensus mask per root: recompute inliers under each root's model
-    pred_t = jax.vmap(lambda p: lie.pose_apply(p, p_pred))(res.pose)  # (b, b, 3)
+    pred_t = jax.vmap(lambda p: lie.pose_apply(p, p_pred))(res.pose)  # (n_roots, b, 3)
     inlier = (
         (jnp.sum((pred_t - p_act[None]) ** 2, axis=-1) < config.max_error**2)
         & member
     )
-    root_ok = res.ok & runs[jnp.arange(b)]
+    root_ok = res.ok & root_live
 
     # An edge is valid ONLY if its cluster ran and it is an inlier of its
     # root's model. Loop closures default to invalid in the reference
     # (``slam_edge.cpp:47``) and only the filter's whitelist reaches the
     # optimizer (``g2o_optimizer.cpp:97-103``) — small/short clusters
     # contribute nothing until they accumulate corroboration.
+    # map each candidate's label to its compacted root row (-1 = none ran)
+    rowmap = jnp.full((b + 1,), -1, jnp.int32)
+    # dead rows scatter -1 into the spare slot b so they can clobber nothing
+    rowmap = rowmap.at[jnp.where(root_live, root_safe, b)].set(
+        jnp.where(root_live, jnp.arange(n_roots, dtype=jnp.int32), -1)
+    )
     my_root = labels
-    ran = root_ok[my_root]
-    is_inlier = inlier[my_root, jnp.arange(b)]
+    my_row = rowmap[jnp.clip(my_root, 0, b)]
+    row_safe = jnp.maximum(my_row, 0)
+    ran = (my_row >= 0) & root_ok[row_safe]
+    is_inlier = inlier[row_safe, jnp.arange(b)]
     keep = ran & is_inlier
 
     # Cap per cluster: best ``max_edges_per_cluster`` by score + equally

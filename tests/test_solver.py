@@ -191,6 +191,24 @@ class TestFactors:
         w = factors.huber_weight(jnp.array([0.25, 1.0, 100.0]), delta=1.0)
         np.testing.assert_allclose(np.asarray(w), [1.0, 1.0, 0.1], atol=1e-6)
 
+    def test_analytic_jacobians_match_ad_oracle(self):
+        """The closed-form Jr⁻¹/adjoint Jacobians must equal the jacfwd
+        oracle across small and near-π residual rotations (the Barfoot Q
+        term only matters at large angle — a transcription error there is
+        invisible to small-perturbation tests)."""
+        for seed, rscale in ((3, 0.02), (4, 0.3), (5, 0.9)):
+            ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+            mk = lambda k, s: lie.se3_exp(
+                jnp.concatenate([jax.random.normal(k, (16, 3)),
+                                 s * jax.random.normal(k, (16, 3))], -1)
+            )
+            pi, pj, meas = mk(ks[0], rscale), mk(ks[1], rscale), mk(ks[2], rscale)
+            r1, Ji1, Jj1 = factors.batched_residual_jacobians(pi, pj, meas)
+            r2, Ji2, Jj2 = factors.batched_residual_jacobians_ad(pi, pj, meas)
+            np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(Ji1), np.asarray(Ji2), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(Jj1), np.asarray(Jj2), atol=2e-4)
+
 
 def sparse_gn_oracle(g, iters=12):
     """Sparse-Cholesky Gauss-Newton on the robustified normal equations —

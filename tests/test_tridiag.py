@@ -28,6 +28,20 @@ def dense_from_blocks(D, U, n):
     return A
 
 
+class TestInv6:
+    def test_spd_inverse(self):
+        X = jax.random.normal(KEY, (64, 6, 6))
+        M = X @ jnp.swapaxes(X, -1, -2) + 0.5 * jnp.eye(6)
+        Minv = tridiag._inv6(M)
+        err = np.max(np.abs(np.asarray(Minv @ M) - np.eye(6)))
+        assert err < 1e-2  # f32 adjugate on conditioned SPD blocks
+
+    def test_ill_conditioned_stays_finite(self):
+        M = jnp.diag(jnp.array([1e6, 1.0, 1e-6, 1.0, 1.0, 1.0]))[None]
+        Minv = tridiag._inv6(M)
+        assert np.all(np.isfinite(np.asarray(Minv)))
+
+
 class TestTridiag:
     def test_matches_dense_pow2(self):
         n = 16

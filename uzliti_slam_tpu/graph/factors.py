@@ -27,8 +27,9 @@ def _residual_perturbed(dx_i, dx_j, pose_i, pose_j, meas):
     )
 
 
-def edge_residual_jacobians(pose_i, pose_j, meas):
-    """Residual plus 6x6 Jacobians wrt right-perturbations of X_i and X_j."""
+def edge_residual_jacobians_ad(pose_i, pose_j, meas):
+    """jacfwd (12 forward passes) reference implementation — kept as the
+    oracle the analytic form is validated against in tests."""
     zero = jnp.zeros((6,), dtype=pose_i.dtype)
     r = edge_residual(pose_i, pose_j, meas)
     Ji = jax.jacfwd(_residual_perturbed, argnums=0)(zero, zero, pose_i, pose_j, meas)
@@ -36,9 +37,27 @@ def edge_residual_jacobians(pose_i, pose_j, meas):
     return r, Ji, Jj
 
 
+def edge_residual_jacobians(pose_i, pose_j, meas):
+    """Residual plus analytic 6x6 Jacobians wrt right-perturbations.
+
+    For r = log(M⁻¹·A) with A = Xᵢ⁻¹Xⱼ:
+      Xⱼ → Xⱼ·exp(ξ):  A·exp(ξ)          ⇒  Jⱼ =  Jr⁻¹(r)
+      Xᵢ → Xᵢ·exp(ξ):  exp(-ξ) pre-A ⇒ A·exp(-Ad_{A⁻¹}ξ)
+                                          ⇒  Jᵢ = -Jr⁻¹(r)·Ad_{A⁻¹}
+    Closed forms (so3 Jacobian inverse + Barfoot Q) replace the 12
+    forward-mode passes of the jacfwd version — ~5x cheaper per edge,
+    which is the dominant linearization cost at 100k nodes."""
+    pred = lie.pose_relative(pose_i, pose_j)
+    r = lie.se3_log(lie.pose_compose(lie.pose_inverse(meas), pred))
+    Jj = lie.se3_right_jacobian_inv(r)
+    Ji = -(Jj @ lie.se3_adjoint(lie.pose_inverse(pred)))
+    return r, Ji, Jj
+
+
 # Batched over the edge table.
 batched_residuals = jax.vmap(edge_residual)
 batched_residual_jacobians = jax.vmap(edge_residual_jacobians)
+batched_residual_jacobians_ad = jax.vmap(edge_residual_jacobians_ad)
 
 
 def huber_weight(chi2: jax.Array, delta: float = 1.0) -> jax.Array:

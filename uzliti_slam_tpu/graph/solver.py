@@ -60,6 +60,18 @@ class SolverConfig:
                                   # iteration is a large win there. Pick a
                                   # divisor of `iterations` (trailing
                                   # partial chunks run masked no-op steps).
+    closure_fraction: float = 0.25  # static capacity of the compacted
+                                  # closure-edge table, as a fraction of
+                                  # edge capacity. TPU row gathers/scatters
+                                  # cost ~tile-per-index, so the CG loop
+                                  # splits H into a dense node-indexed part
+                                  # (diagonal blocks + odometry-spine
+                                  # couplings = shift ops, zero gathers)
+                                  # plus scatter work ONLY for compacted
+                                  # loop-closure edges. If closures exceed
+                                  # the cap the solve falls back to the
+                                  # full-scatter Hv (lax.cond) — slower,
+                                  # never wrong.
 
 
 class SolveStats(NamedTuple):
@@ -195,6 +207,71 @@ def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array,
     return hvp
 
 
+def closure_partition(g: GraphState, capacity: int):
+    """Compacted table of non-spine (loop-closure) edge slots.
+
+    Topology-only (valid masks + indices, no poses), so it is computed ONCE
+    per solve.  Returns (cl_idx (C,), cl_from (C,), cl_to (C,), n_closure)
+    where padding rows point at node slot ``n`` (gathers read a zero row,
+    scatters drop).  Spine edges — ``e_to == e_from + 1`` — are exactly the
+    set the chain preconditioner's off-diagonal assembles densely.
+    """
+    n = g.node_capacity
+    is_chain = (g.e_to == g.e_from + 1) & g.e_valid
+    is_cl = g.e_valid & ~is_chain
+    n_cl = jnp.sum(is_cl).astype(jnp.int32)
+    order = jnp.argsort(~is_cl, stable=True)  # closures first
+    cl_idx = order[:capacity]
+    in_range = jnp.arange(capacity, dtype=jnp.int32) < n_cl
+    cl_from = jnp.where(in_range, g.e_from[cl_idx], n)
+    cl_to = jnp.where(in_range, g.e_to[cl_idx], n)
+    return cl_idx, cl_from, cl_to, n_cl
+
+
+def _make_split_hvp(g: GraphState, Ji, Jj, W, Hblocks, U, closure,
+                    damp: jax.Array, free: jax.Array):
+    """(H + λ·diag) @ v with the TPU-friendly dense/sparse split.
+
+    H·v = diag-blocks·v  (node-indexed einsum, no gather)
+        + spine couplings U (consecutive slots → shift ops, no gather)
+        + closure couplings (gather/scatter over the SMALL compacted
+          closure table instead of the whole edge table).
+
+    Row gathers/scatters on TPU cost roughly a (8,128) tile access per
+    index, so moving the odometry spine (the bulk of a SLAM edge table)
+    out of the scatter path is worth ~4-5x per CG iteration at 100k
+    nodes.  Falls back to the full-scatter form when closures overflow
+    the static table (correctness is never capacity-dependent).
+    """
+    n = g.node_capacity
+    cl_idx, cl_from, cl_to, n_cl = closure
+    C = cl_idx.shape[0]
+    # H[from, to] 6x6 coupling blocks for compacted closure edges — one
+    # C-sized gather per LM iteration instead of E-sized work per CG step.
+    Bij = jnp.einsum(
+        "eji,ejk,ekl->eil", Ji[cl_idx], W[cl_idx], Jj[cl_idx], precision=_PREC
+    )
+    zrow = jnp.zeros((1, 6), Hblocks.dtype)
+    fallback = _make_hvp(g, Ji, Jj, W, damp, free)
+    fits = n_cl <= C
+
+    def fast(v):
+        vm = v * free[:, None]
+        y = jnp.einsum("nij,nj->ni", Hblocks, vm, precision=_PREC)
+        vnext = jnp.concatenate([vm[1:], zrow])
+        y = y + jnp.einsum("nij,nj->ni", U, vnext, precision=_PREC)
+        up = jnp.einsum("nji,nj->ni", U, vm, precision=_PREC)  # → slot i+1
+        y = y + jnp.concatenate([zrow, up[:-1]])
+        vm_ext = jnp.concatenate([vm, zrow])
+        uf = jnp.einsum("cij,cj->ci", Bij, vm_ext[cl_to], precision=_PREC)
+        ut = jnp.einsum("cji,cj->ci", Bij, vm_ext[cl_from], precision=_PREC)
+        y = y + jax.ops.segment_sum(uf, cl_from, num_segments=n + 1)[:n]
+        y = y + jax.ops.segment_sum(ut, cl_to, num_segments=n + 1)[:n]
+        return (y + damp * vm) * free[:, None]
+
+    return lambda v: jax.lax.cond(fits, fast, fallback, v)
+
+
 def _block_jacobi_inverse(Hblocks: jax.Array, damp: jax.Array, free: jax.Array) -> jax.Array:
     """Inverse of (H_block + λ diag) per node; identity for non-free nodes."""
     eye = jnp.eye(6)
@@ -265,6 +342,14 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
     """
     chi2_0 = total_chi2(g, g.pose, config.huber_delta, reduce)
     use_chain = config.preconditioner == "chain"
+    # Dense/sparse Hv split needs the whole edge table on-device; the
+    # edge-sharded solve (reduce = psum) keeps the classic scatter form.
+    # Below ~4k nodes the solve is XLA-op-latency-bound, not scatter-bound,
+    # and the split's extra dense ops would only add kernels.
+    use_split = reduce is _identity_reduce and g.node_capacity >= 4096
+    if use_split:
+        ccap = max(int(config.closure_fraction * g.edge_capacity), 64)
+        closure = closure_partition(g, min(ccap, g.edge_capacity))
 
     def build_chain_factor(poses, lam):
         """Factor the damped block-tridiagonal part at the CURRENT iterate.
@@ -300,7 +385,13 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             # Marquardt scaling: damp with λ·diag(H) (floored for stability).
             hdiag = jax.vmap(jnp.diag)(Hblocks)
             damp = lam * jnp.maximum(hdiag, 1e-6)
-            hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
+            if use_split:
+                from uzliti_slam_tpu.graph import tridiag
+
+                U_h = reduce(tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free))
+                hvp = _make_split_hvp(gg, Ji, Jj, W, Hblocks, U_h, closure, damp, free)
+            else:
+                hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
             if chain_factor is not None:
                 from uzliti_slam_tpu.graph import tridiag
 

@@ -19,24 +19,57 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _inv3(M):
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    Pure element-wise VPU arithmetic — no dynamic slicing, no custom
+    calls; the building block for the Schur-based 6x6 inverse below.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv = jnp.stack(
+        [
+            A, -(b * i - c * h), b * f - c * e,
+            B, a * i - c * g, -(a * f - c * d),
+            C, -(a * h - b * g), a * e - b * d,
+        ],
+        axis=-1,
+    ).reshape(M.shape)
+    return inv / det[..., None, None]
+
+
 def _inv6(M):
     """Batched SPD-ish 6x6 inverse with damping floor.
 
-    Unrolled Gauss-Jordan (no pivoting — blocks are damped SPD): six
-    rank-1 elimination sweeps of pure element-wise VPU work, instead of
-    ``jnp.linalg.inv``'s LU custom call, which dominates runtime on TPU
-    for small batched blocks.
+    2x2-block Schur inversion over 3x3 sub-blocks, each inverted in
+    closed form (adjugate): entirely element-wise/matmul VPU work with
+    no sequential elimination sweeps — the former unrolled Gauss-Jordan
+    spent most of its time in six dependent dynamic-update-slice passes,
+    which dominated the cyclic-reduction factor at 100k nodes.
     """
     eye = jnp.eye(6, dtype=M.dtype)
-    aug = jnp.concatenate(
-        [M + 1e-8 * eye, jnp.broadcast_to(eye, M.shape)], axis=-1
-    )  # (..., 6, 12)
-    for k in range(6):
-        piv = aug[..., k, k][..., None]
-        row = aug[..., k, :] / piv
-        aug = aug - aug[..., :, k][..., None] * row[..., None, :]
-        aug = aug.at[..., k, :].set(row)
-    return aug[..., 6:]
+    M = M + 1e-8 * eye
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ainv = _inv3(A)
+    AinvB = Ainv @ B
+    S = D - C @ AinvB          # Schur complement of A (SPD for damped SPD M)
+    Sinv = _inv3(S)
+    CAinv = C @ Ainv
+    TL = Ainv + AinvB @ Sinv @ CAinv
+    TR = -AinvB @ Sinv
+    BL = -Sinv @ CAinv
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _pad_pow2(D, U, b):
@@ -101,12 +134,21 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64):
         Uoe_m = jnp.roll(Uoe, 1, axis=0).at[0].set(0.0)
         Dinv_om = jnp.roll(Dinv_o, 1, axis=0).at[0].set(jnp.eye(6, dtype=D.dtype))
 
-        t1 = jnp.einsum("nji,njk,nkl->nil", Uoe_m, Dinv_om, Uoe_m, precision=_PREC)
-        t2 = jnp.einsum("nij,njk,nlk->nil", Ueo, Dinv_o, Ueo, precision=_PREC)
+        # Apply-side products are precomputed HERE (matrix-dependent, once
+        # per factor) so each CG substitution level does two matvecs and a
+        # shift instead of chained triple products — the per-level kernel
+        # count is what bounds the latency of the 2·log2(n) apply sweep.
+        P1m = jnp.einsum("nji,njk->nik", Uoe_m, Dinv_om, precision=_PREC)
+        P2 = jnp.einsum("nij,njk->nik", Ueo, Dinv_o, precision=_PREC)
+        G1 = jnp.einsum("nij,nkj->nik", Dinv_o, Ueo, precision=_PREC)
+        G2 = jnp.einsum("nij,njk->nik", Dinv_o, Uoe, precision=_PREC)
+
+        t1 = jnp.einsum("nij,njk->nik", P1m, Uoe_m, precision=_PREC)
+        t2 = jnp.einsum("nij,nkj->nik", P2, Ueo, precision=_PREC)
         newD = De - t1 - t2
-        newU = -jnp.einsum("nij,njk,nkl->nil", Ueo, Dinv_o, Uoe, precision=_PREC)
+        newU = -jnp.einsum("nij,njk->nik", P2, Uoe, precision=_PREC)
         newU = newU.at[-1].set(0.0)
-        levels.append((Dinv_o, Ueo, Uoe))
+        levels.append((Dinv_o, P1m, P2, G1, G2))
         Dk, Uk = newD, newU
 
     root_inv = _dense_root_inverse(Dk, Uk)
@@ -123,16 +165,14 @@ def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
     # forward: reduce b through the levels, remembering per-level odd parts
     b_levels = []
     bk = b
-    for Dinv_o, Ueo, Uoe in levels:
+    for Dinv_o, P1m, P2, G1, G2 in levels:
         be, bo = bk[0::2], bk[1::2]
-        Uoe_m = jnp.roll(Uoe, 1, axis=0).at[0].set(0.0)
-        Dinv_om = jnp.roll(Dinv_o, 1, axis=0).at[0].set(jnp.eye(6, dtype=b.dtype))
         bo_m = jnp.roll(bo, 1, axis=0).at[0].set(0.0)
         b_levels.append(bo)
         bk = (
             be
-            - jnp.einsum("nji,njk,nk->ni", Uoe_m, Dinv_om, bo_m, precision=_PREC)
-            - jnp.einsum("nij,njk,nk->ni", Ueo, Dinv_o, bo, precision=_PREC)
+            - jnp.einsum("nij,nj->ni", P1m, bo_m, precision=_PREC)
+            - jnp.einsum("nij,nj->ni", P2, bo, precision=_PREC)
         )
 
     # dense root solve: one matvec over the remaining m blocks
@@ -141,16 +181,15 @@ def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
         "ij,j->i", root_inv, bk.reshape(-1), precision=_PREC
     ).reshape(m_root, 6)
 
-    for (Dinv_o, Ueo, Uoe), bo in zip(reversed(levels), reversed(b_levels)):
-        m = 2 * Ueo.shape[0]
+    for (Dinv_o, P1m, P2, G1, G2), bo in zip(reversed(levels), reversed(b_levels)):
+        m = 2 * bo.shape[0]
         x_e = x
         x_e_next = jnp.roll(x_e, -1, axis=0).at[-1].set(0.0)
-        rhs = (
-            bo
-            - jnp.einsum("nji,nj->ni", Ueo, x_e, precision=_PREC)
-            - jnp.einsum("nij,nj->ni", Uoe, x_e_next, precision=_PREC)
+        x_o = (
+            jnp.einsum("nij,nj->ni", Dinv_o, bo, precision=_PREC)
+            - jnp.einsum("nij,nj->ni", G1, x_e, precision=_PREC)
+            - jnp.einsum("nij,nj->ni", G2, x_e_next, precision=_PREC)
         )
-        x_o = jnp.einsum("nij,nj->ni", Dinv_o, rhs, precision=_PREC)
         x = jnp.stack([x_e, x_o], axis=1).reshape(m, 6)
 
     return x[:n_orig]

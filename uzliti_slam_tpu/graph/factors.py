@@ -54,6 +54,20 @@ def edge_residual_jacobians(pose_i, pose_j, meas):
     return r, Ji, Jj
 
 
+def jacobians_from_residual(r: jax.Array, adj_meas_inv: jax.Array):
+    """Jacobians from the residual twist alone (batched, (E, 6...)).
+
+    Since pred = meas·exp(r), Ad_{pred⁻¹} = Ad_{exp(-r)}·Ad_{meas⁻¹}; with
+    Ad_{meas⁻¹} precomputed once per solve (measurements are constant),
+    the per-iteration linearization needs NO pose gathers at all — the LM
+    loop carries ``r`` forward from the accepted candidate's χ² evaluation.
+    """
+    Jj = lie.se3_right_jacobian_inv(r)
+    adj = lie.se3_adjoint(lie.se3_exp(-r))
+    Ji = -(Jj @ (adj @ adj_meas_inv))
+    return Ji, Jj
+
+
 # Batched over the edge table.
 batched_residuals = jax.vmap(edge_residual)
 batched_residual_jacobians = jax.vmap(edge_residual_jacobians)

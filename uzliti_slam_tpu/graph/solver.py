@@ -149,15 +149,6 @@ def _weighted_info(g: GraphState, r: jax.Array, huber_delta: float) -> jax.Array
     return g.e_info * w[:, None, None]
 
 
-def _build_linearization(g: GraphState, huber_delta: float):
-    """Residuals, Jacobian blocks, weighted info for the whole edge table."""
-    pi = g.pose[g.e_from]
-    pj = g.pose[g.e_to]
-    r, Ji, Jj = factors.batched_residual_jacobians(pi, pj, g.e_transform)
-    W = _weighted_info(g, r, huber_delta)
-    return r, Ji, Jj, W
-
-
 def _identity_reduce(x):
     return x
 
@@ -320,9 +311,8 @@ def _pcg(hvp, apply_minv, b, iterations: int, tol: float):
 # The LM loop
 # ---------------------------------------------------------------------------
 
-def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float,
-               reduce=_identity_reduce) -> jax.Array:
-    r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
+def _robust_chi2_from_r(g: GraphState, r: jax.Array, huber_delta: float,
+                        reduce=_identity_reduce) -> jax.Array:
     chi2 = factors.edge_chi2(r, g.e_info)
     # Robust (Huber) total cost, as g2o's activeRobustChi2.
     e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
@@ -330,6 +320,12 @@ def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float,
         e <= huber_delta, chi2, 2.0 * huber_delta * e - huber_delta**2
     )
     return reduce(jnp.sum(rho * g.e_valid))
+
+
+def total_chi2(g: GraphState, poses: jax.Array, huber_delta: float,
+               reduce=_identity_reduce) -> jax.Array:
+    r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
+    return _robust_chi2_from_r(g, r, huber_delta, reduce)
 
 
 def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
@@ -340,7 +336,24 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
     ``reduce`` must then psum partial reductions across the edge axis.
     Returns (poses, final_lambda, chi2_history, accepted).
     """
-    chi2_0 = total_chi2(g, g.pose, config.huber_delta, reduce)
+    r0 = factors.batched_residuals(
+        g.pose[g.e_from], g.pose[g.e_to], g.e_transform
+    )
+    chi2_0 = _robust_chi2_from_r(g, r0, config.huber_delta, reduce)
+    # Measurements are constant across the solve, so Ad_{meas⁻¹} is hoisted
+    # out of the LM loop; together with the residual twist carried forward
+    # from the accepted candidate's χ² pass, each iteration's linearization
+    # needs NO pose gathers and NO residual recompute (TPU row gathers at
+    # 100k edges are the expensive part, not the 6x6 algebra).
+    adj_meas_inv = jax.vmap(lambda m: lie.se3_adjoint(lie.pose_inverse(m)))(
+        g.e_transform
+    )
+
+    def linearize_from_r(r):
+        W = _weighted_info(g, r, config.huber_delta)
+        Ji, Jj = factors.jacobians_from_residual(r, adj_meas_inv)
+        return Ji, Jj, W
+
     use_chain = config.preconditioner == "chain"
     # Dense/sparse Hv split needs the whole edge table on-device; the
     # edge-sharded solve (reduce = psum) keeps the classic scatter form.
@@ -351,7 +364,7 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
         ccap = max(int(config.closure_fraction * g.edge_capacity), 64)
         closure = closure_partition(g, min(ccap, g.edge_capacity))
 
-    def build_chain_factor(poses, lam):
+    def build_chain_factor(r, lam):
         """Factor the damped block-tridiagonal part at the CURRENT iterate.
 
         Re-run once per ``precond_refresh`` LM iterations — the factor is
@@ -361,12 +374,11 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
         """
         from uzliti_slam_tpu.graph import tridiag
 
-        gg = g._replace(pose=poses)
-        _, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
-        Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W, reduce)
+        Ji, Jj, W = linearize_from_r(r)
+        Hblocks = _hessian_diag_blocks(g, Ji, Jj, W, reduce)
         hdiag = jax.vmap(jnp.diag)(Hblocks)
         damp = lam * jnp.maximum(hdiag, 1e-6)
-        U = reduce(tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free))
+        U = reduce(tridiag.chain_offdiag_blocks(g, Ji, Jj, W, free))
         eye = jnp.eye(6)
         Dm = jnp.where(
             free[:, None, None] > 0,
@@ -377,21 +389,20 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
 
     def make_lm_step(chain_factor):
         def lm_step(carry, step_idx):
-            poses, lam, chi2_cur = carry
-            gg = g._replace(pose=poses)
-            r, Ji, Jj, W = _build_linearization(gg, config.huber_delta)
-            grad = _gradient(gg, r, Ji, Jj, W, free, reduce)
-            Hblocks = _hessian_diag_blocks(gg, Ji, Jj, W, reduce)
+            poses, r, lam, chi2_cur = carry
+            Ji, Jj, W = linearize_from_r(r)
+            grad = _gradient(g, r, Ji, Jj, W, free, reduce)
+            Hblocks = _hessian_diag_blocks(g, Ji, Jj, W, reduce)
             # Marquardt scaling: damp with λ·diag(H) (floored for stability).
             hdiag = jax.vmap(jnp.diag)(Hblocks)
             damp = lam * jnp.maximum(hdiag, 1e-6)
             if use_split:
                 from uzliti_slam_tpu.graph import tridiag
 
-                U_h = reduce(tridiag.chain_offdiag_blocks(gg, Ji, Jj, W, free))
-                hvp = _make_split_hvp(gg, Ji, Jj, W, Hblocks, U_h, closure, damp, free)
+                U_h = reduce(tridiag.chain_offdiag_blocks(g, Ji, Jj, W, free))
+                hvp = _make_split_hvp(g, Ji, Jj, W, Hblocks, U_h, closure, damp, free)
             else:
-                hvp = _make_hvp(gg, Ji, Jj, W, damp, free, reduce)
+                hvp = _make_hvp(g, Ji, Jj, W, damp, free, reduce)
             if chain_factor is not None:
                 from uzliti_slam_tpu.graph import tridiag
 
@@ -412,11 +423,15 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             dx = dx * free[:, None]
 
             cand = lie.pose_retract(poses, dx)
-            chi2_new = total_chi2(g, cand, config.huber_delta, reduce)
+            r_cand = factors.batched_residuals(
+                cand[g.e_from], cand[g.e_to], g.e_transform
+            )
+            chi2_new = _robust_chi2_from_r(g, r_cand, config.huber_delta, reduce)
             # steps past config.iterations (trailing partial chunk) are no-ops
             do = step_idx < config.iterations
             accept = (chi2_new < chi2_cur) & do
             poses = jnp.where(accept, cand, poses)
+            r = jnp.where(accept, r_cand, r)
             chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
             lam_next = jnp.clip(
                 jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
@@ -424,28 +439,28 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
                 config.lambda_max,
             )
             lam = jnp.where(do, lam_next, lam)
-            return (poses, lam, chi2_cur), (chi2_cur, accept)
+            return (poses, r, lam, chi2_cur), (chi2_cur, accept)
 
         return lm_step
 
-    init = (g.pose, jnp.asarray(config.lambda_init), chi2_0)
+    init = (g.pose, r0, jnp.asarray(config.lambda_init), chi2_0)
     if use_chain:
         refresh = max(1, min(int(config.precond_refresh), config.iterations))
         n_chunks = -(-config.iterations // refresh)
 
         def chunk(carry, chunk_idx):
-            poses, lam, _ = carry
-            factor = build_chain_factor(poses, lam)
+            _, r, lam, _ = carry
+            factor = build_chain_factor(r, lam)
             steps = chunk_idx * refresh + jnp.arange(refresh)
             return jax.lax.scan(make_lm_step(factor), carry, steps)
 
-        (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
+        (poses, _, lam, _), (chi2_hist, accepted) = jax.lax.scan(
             chunk, init, jnp.arange(n_chunks)
         )
         chi2_hist = chi2_hist.reshape(-1)[: config.iterations]
         accepted = accepted.reshape(-1)[: config.iterations]
     else:
-        (poses, lam, _), (chi2_hist, accepted) = jax.lax.scan(
+        (poses, _, lam, _), (chi2_hist, accepted) = jax.lax.scan(
             make_lm_step(None),
             init,
             jnp.arange(config.iterations),

@@ -210,6 +210,59 @@ class TestFactors:
             np.testing.assert_allclose(np.asarray(Jj1), np.asarray(Jj2), atol=2e-4)
 
 
+class TestSplitHvp:
+    """The dense/sparse split Hv (production hot path at >=4k nodes) must
+    equal the full-scatter Hv, including the overflow fallback (ADVICE r3)."""
+
+    def _linearize(self, g):
+        from uzliti_slam_tpu.graph import tridiag
+
+        r = factors.batched_residuals(g.pose[g.e_from], g.pose[g.e_to], g.e_transform)
+        W = solver._weighted_info(g, r, 1.0)
+        adj = jax.vmap(lambda m: lie.se3_adjoint(lie.pose_inverse(m)))(g.e_transform)
+        Ji, Jj = factors.jacobians_from_residual(r, adj)
+        labels = solver.connected_components(g)
+        gauge = solver.gauge_fix_mask(g, labels)
+        free = (g.node_valid & ~gauge).astype(g.pose.dtype)
+        Hblocks = solver._hessian_diag_blocks(g, Ji, Jj, W)
+        U = tridiag.chain_offdiag_blocks(g, Ji, Jj, W, free)
+        damp = 1e-3 * jnp.maximum(jax.vmap(jnp.diag)(Hblocks), 1e-6)
+        return r, W, Ji, Jj, Hblocks, U, damp, free
+
+    def test_split_matches_full_scatter(self):
+        g, _ = synthetic.make_pose_graph(KEY, 64, loop_closure_every=7)
+        r, W, Ji, Jj, Hblocks, U, damp, free = self._linearize(g)
+        closure = solver.closure_partition(g, 32)  # plenty of room
+        split = solver._make_split_hvp(g, Ji, Jj, W, Hblocks, U, closure, damp, free)
+        full = solver._make_hvp(g, Ji, Jj, W, damp, free)
+        v = jax.random.normal(jax.random.PRNGKey(7), (g.node_capacity, 6))
+        np.testing.assert_allclose(
+            np.asarray(split(v)), np.asarray(full(v)), rtol=1e-5, atol=1e-5
+        )
+
+    def test_overflow_fallback_engages_and_is_exact(self):
+        g, _ = synthetic.make_pose_graph(KEY, 64, loop_closure_every=4)
+        r, W, Ji, Jj, Hblocks, U, damp, free = self._linearize(g)
+        cl = solver.closure_partition(g, 2)  # force n_cl > capacity
+        assert int(cl[3]) > 2
+        split = solver._make_split_hvp(g, Ji, Jj, W, Hblocks, U, cl, damp, free)
+        full = solver._make_hvp(g, Ji, Jj, W, damp, free)
+        v = jax.random.normal(jax.random.PRNGKey(8), (g.node_capacity, 6))
+        np.testing.assert_allclose(
+            np.asarray(split(v)), np.asarray(full(v)), rtol=1e-6, atol=1e-6
+        )
+
+    def test_end_to_end_split_threshold_override(self):
+        g, _ = synthetic.make_pose_graph(KEY, 80, loop_closure_every=9)
+        base = solver.SolverConfig(iterations=8)
+        forced = solver.SolverConfig(iterations=8, split_hv_threshold=1)
+        g_a, _ = solver.optimize(g, base)
+        g_b, _ = solver.optimize(g, forced)
+        np.testing.assert_allclose(
+            np.asarray(g_a.pose), np.asarray(g_b.pose), atol=1e-4
+        )
+
+
 def sparse_gn_oracle(g, iters=12):
     """Sparse-Cholesky Gauss-Newton on the robustified normal equations —
     the g2o-equivalent oracle (BlockSolver + CSparse), feasible at 10k+

@@ -60,6 +60,12 @@ class SolverConfig:
                                   # iteration is a large win there. Pick a
                                   # divisor of `iterations` (trailing
                                   # partial chunks run masked no-op steps).
+    split_hv_threshold: int = 4096  # node capacity at which the dense/
+                                  # sparse split Hv replaces the full-
+                                  # scatter form. Below ~4k nodes the solve
+                                  # is op-latency-bound and the split only
+                                  # adds kernels; tests lower this to force
+                                  # the split path on small graphs.
     closure_fraction: float = 0.25  # static capacity of the compacted
                                   # closure-edge table, as a fraction of
                                   # edge capacity. TPU row gathers/scatters
@@ -359,7 +365,7 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
     # edge-sharded solve (reduce = psum) keeps the classic scatter form.
     # Below ~4k nodes the solve is XLA-op-latency-bound, not scatter-bound,
     # and the split's extra dense ops would only add kernels.
-    use_split = reduce is _identity_reduce and g.node_capacity >= 4096
+    use_split = reduce is _identity_reduce and g.node_capacity >= config.split_hv_threshold
     if use_split:
         ccap = max(int(config.closure_fraction * g.edge_capacity), 64)
         closure = closure_partition(g, min(ccap, g.edge_capacity))

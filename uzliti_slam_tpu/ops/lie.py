@@ -328,7 +328,10 @@ def _se3_Q(rho: jax.Array, phi: jax.Array) -> jax.Array:
     between translation and rotation perturbations.
     """
     t = _safe_norm(phi)
-    small = t < _EPS
+    # Switch to degree-2 Taylor well above f32 cancellation territory:
+    # (t - sin t) etc. lose ~all mantissa bits below θ ≈ 1e-2, while the
+    # Taylor truncation error at 1e-2 is O(θ⁴) ≈ 1e-8 — strictly better.
+    small = t < 1e-2
     t2 = t * t
     t4 = t2 * t2
     one = jnp.ones_like(t)
@@ -338,7 +341,7 @@ def _se3_Q(rho: jax.Array, phi: jax.Array) -> jax.Array:
                    (t - st) / jnp.where(small, one, t2 * t))
     c2 = jnp.where(small, 1.0 / 24.0 - t2 / 720.0,
                    (t2 / 2.0 + ct - 1.0) / jnp.where(small, one, t4))
-    c3 = jnp.where(small, 1.0 / 120.0 - t2 / 2520.0,
+    c3 = jnp.where(small, -1.0 / 120.0 + t2 / 5040.0,
                    (t - st - t2 * t / 6.0) / jnp.where(small, one, t4 * t))
     rx = so3_hat(rho)
     px = so3_hat(phi)

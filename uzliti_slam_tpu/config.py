@@ -145,7 +145,10 @@ class SlamConfig:
     frontend: FeatureExtractionConfig = FeatureExtractionConfig()
     recognition: PlaceRecognitionConfig = PlaceRecognitionConfig()
     estimation: EdgeEstimationConfig = EdgeEstimationConfig()
-    solver: SolverConfig = SolverConfig()
+    # the live pipeline multi-starts every solve from the odometry prior
+    # too (batched with the refined start) — optimization must never end
+    # in a basin worse than raw odometry
+    solver: SolverConfig = SolverConfig(odometry_restart=True)
     filter: FilterConfig = FilterConfig()
     scope: ScopeConfig = ScopeConfig()
     keyframe: KeyframeConfig = KeyframeConfig()

@@ -60,6 +60,19 @@ class SolverConfig:
                                   # iteration is a large win there. Pick a
                                   # divisor of `iterations` (trailing
                                   # partial chunks run masked no-op steps).
+    odometry_restart: bool = False  # ALSO solve from the odometry-prior
+                                  # trajectory (diff ∘ odom_pose per node)
+                                  # and keep the lower-chi2 result. Pose
+                                  # graphs are multi-modal: once a mid-run
+                                  # solve lands in a poor basin, later
+                                  # solves started from it stay stuck (LM
+                                  # rejects every step) even when the
+                                  # odometry manifold leads to a better
+                                  # minimum. The second start runs BATCHED
+                                  # with the first (vmap over starts) — the
+                                  # TPU-native multi-start. Off by default
+                                  # (2x solve cost); the live pipeline
+                                  # enables it.
     split_hv_threshold: int = 4096  # node capacity at which the dense/
                                   # sparse split Hv replaces the full-
                                   # scatter form. Below ~4k nodes the solve
@@ -490,7 +503,27 @@ def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[Grap
     gauge = gauge_fix_mask(g, labels)
     free = (g.node_valid & ~gauge).astype(g.pose.dtype)
 
-    poses, lam, chi2_hist, accepted = lm_loop(g, free, config)
+    if config.odometry_restart:
+        # Second start: the odometry-prior trajectory re-anchored into the
+        # map frame (diff ∘ odom, the reference's re-anchor transform,
+        # graph_slam_node.cpp:1259-1270). Scope-boundary anchors
+        # (node_fixed) keep their authoritative poses.
+        odo_start = lie.pose_compose(g.diff_transform[None], g.odom_pose)
+        if config.optimize_xy_only:
+            odo_start = lie.pose2_to_pose(lie.pose_to_pose2(odo_start))
+        movable = g.node_valid & ~g.node_fixed
+        odo_start = jnp.where(movable[:, None], odo_start, g.pose)
+        starts = jnp.stack([g.pose, odo_start])
+
+        def run(p0):
+            return lm_loop(g._replace(pose=p0), free, config)
+
+        poses_s, lam_s, hist_s, acc_s = jax.vmap(run)(starts)
+        best = jnp.argmin(hist_s[:, -1])
+        poses, lam = poses_s[best], lam_s[best]
+        chi2_hist, accepted = hist_s[best], acc_s[best]
+    else:
+        poses, lam, chi2_hist, accepted = lm_loop(g, free, config)
 
     # Write back errors and ages (g2o_optimizer.cpp:106-135).
     r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)

@@ -84,6 +84,20 @@ class TestPipeline:
         assert ate < 0.2
         assert ate <= ate_odo + 1e-6
 
+    def test_live_map_projected(self, run_sequence):
+        """optimize() ends with an occupancy projection (the reference's
+        projector_->project after every solve, graph_slam_node.cpp:1277-1279):
+        the WallWorld's walls must show up occupied, the traversed corridor
+        free."""
+        _, _, _, slam, _ = run_sequence
+        assert slam.grid is not None
+        tern = np.asarray(slam.map_ternary())
+        assert (tern == 100).sum() > 20      # wall cells
+        assert (tern == 0).sum() > 100       # traversed free space
+        assert (tern == -1).sum() > 0        # outside the world unknown
+        p = np.asarray(slam.map_probability())
+        assert p.min() >= 0.0 and p.max() <= 1.0
+
     def test_diff_transform_updated(self, run_sequence):
         _, _, _, slam, _ = run_sequence
         diff = np.asarray(slam.state.graph.diff_transform)

@@ -79,6 +79,14 @@ class TestServe:
         assert stats["n_nodes"] == n_kf
         assert stats["count_frames"] == 6
 
+        # the optimization epoch projected the live occupancy map
+        code, m = get(port, "/map")
+        assert code == 200
+        assert m["width"] == m["height"]
+        assert sum(c for _, c in m["rle"]) == m["width"] * m["height"]
+        assert m["n_occupied"] > 0 and m["n_free"] > 0
+        assert len(m["origin"]) == 2 and m["resolution"] > 0
+
     def test_checkpoint_endpoint(self, server):
         port, _ = server
         with tempfile.TemporaryDirectory() as d:

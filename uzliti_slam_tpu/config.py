@@ -16,6 +16,7 @@ import dataclasses
 
 from uzliti_slam_tpu.graph.filter import FilterConfig
 from uzliti_slam_tpu.graph.solver import SolverConfig
+from uzliti_slam_tpu.mapping.occupancy import GridConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,3 +154,9 @@ class SlamConfig:
     scope: ScopeConfig = ScopeConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
     use_laser_edges: bool = True
+    # occupancy-grid projection after every optimization epoch — the
+    # reference fires projector_->project(graph) on a detached thread at
+    # the end of each solve (graph_slam_node.cpp:1277-1279); here the
+    # projection is one async device dispatch after the solve
+    grid: GridConfig = GridConfig()
+    project_map: bool = True

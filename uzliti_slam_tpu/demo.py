@@ -84,6 +84,10 @@ def main():
           f"({(et == gstate.EDGE_TYPE_2D_WHEEL_ODOMETRY).sum()} odom, "
           f"{(et == gstate.EDGE_TYPE_2D_LASER).sum()} laser, "
           f"{lc.sum()} visual closures, {ev[lc].sum()} validated)")
+    tern = np.asarray(slam.map_ternary())
+    print(f"== map {tern.shape[0]}x{tern.shape[1]} @ {cfg.grid.resolution} m: "
+          f"{(tern == 100).sum()} occupied, {(tern == 0).sum()} free, "
+          f"{(tern == -1).sum()} unknown cells")
     print(f"== chi2 {float(stats.chi2_history[0]):.3f} -> {float(stats.chi2_history[-1]):.3f}")
     print(f"== ATE slam {ate:.4f} m  vs odometry {ate_odo:.4f} m  ({dt:.1f}s wall)")
     ok = ate < 0.2 and ate < ate_odo

@@ -143,13 +143,16 @@ def project(
     scan_valid: jax.Array,
     config: GridConfig = GridConfig(),
     force_full: bool = False,
+    recenter: bool = True,
 ) -> OccupancyGrid:
     """Project the graph's scans into the grid.
 
     Incremental: only nodes at slots ≥ ``last_projected`` are rendered,
     unless any already-projected node drifted more than the threshold since
     the last projection — then the whole map is rebuilt from scratch
-    (``occupancy_grid_projector.cpp:52-76``)."""
+    (``occupancy_grid_projector.cpp:52-76``). A full rebuild also recenters
+    the grid on the graph bounding box (the reference's map auto-sizing,
+    ``graph_grid_mapper.cpp:535-573``) unless ``recenter=False``."""
     n = g.node_capacity
     slots = jnp.arange(n)
 
@@ -171,10 +174,11 @@ def project(
 
     def project_full(_):
         mask = g.node_valid & scan_valid
+        org = auto_origin(g, config) if recenter else grid.origin
         lo = _project_rays(
-            jnp.zeros_like(grid.logodds), g.pose, scans, mask, grid.origin, config
+            jnp.zeros_like(grid.logodds), g.pose, scans, mask, org, config
         )
-        return _mark_node_cells(lo, g.pose, mask, grid.origin, config)
+        return _mark_node_cells(lo, g.pose, mask, org, config), org
 
     def project_incremental(_):
         start = jnp.clip(g.num_nodes - window, 0, n - window)
@@ -185,13 +189,13 @@ def project(
             & (start + jnp.arange(window) >= grid.last_projected)
         )
         lo = _project_rays(grid.logodds, p_w, s_w, m_w, grid.origin, config)
-        return _mark_node_cells(lo, p_w, m_w, grid.origin, config)
+        return _mark_node_cells(lo, p_w, m_w, grid.origin, config), grid.origin
 
-    lo = jax.lax.cond(full, project_full, project_incremental, None)
+    lo, origin = jax.lax.cond(full, project_full, project_incremental, None)
 
     return OccupancyGrid(
         logodds=lo,
-        origin=grid.origin,
+        origin=origin,
         last_projected=jnp.maximum(grid.last_projected, g.num_nodes),
         # snapshot poses of everything projected so far for the drift check
         ref_poses=jnp.where(

@@ -31,9 +31,15 @@ from uzliti_slam_tpu.graph import lifecycle, shortest_path, solver
 from uzliti_slam_tpu.graph import state as gstate
 from uzliti_slam_tpu.ops import depth as depth_ops
 from uzliti_slam_tpu.ops import features, icp, lie, matching, ransac
+from uzliti_slam_tpu.mapping import occupancy
 from uzliti_slam_tpu.ops import scan as scan_ops
 from uzliti_slam_tpu.recognition import recognizer as rec
 from uzliti_slam_tpu.recognition import vocabulary as voc
+
+
+_project_map_jit = partial(
+    jax.jit, static_argnames=("config", "force_full")
+)(occupancy.project)
 
 
 class Keyframe(NamedTuple):
@@ -952,6 +958,7 @@ class Slam:
         self.cam = cam or cam_mod.default_kinect()
         self.cam_pose = cam_pose if cam_pose is not None else lie.pose_identity()
         self.state = init_state(config, seed, vocabulary=vocabulary)
+        self.grid: occupancy.OccupancyGrid | None = None
         self.optimize_every = 10
         self.auto_grow = True
         self._since_opt = 0
@@ -1095,7 +1102,37 @@ class Slam:
     def optimize(self):
         self.state, stats = optimize_epoch(self.state, self.config)
         self._since_opt = 0
+        if self.config.project_map:
+            self.project_map()
         return stats
+
+    def project_map(self, force_full: bool = False):
+        """Project the graph's virtual scans into the live occupancy grid —
+        the reference ends every optimization with a detached
+        ``projector_->project(graph)`` (``graph_slam_node.cpp:1277-1279``).
+        One async jitted dispatch; the host does not block on it."""
+        g = self.state.graph
+        if self.grid is None or self.grid.ref_poses.shape[0] != g.node_capacity:
+            self.grid = occupancy.grid_init(g, self.config.grid)
+            force_full = True
+        self.grid = _project_map_jit(
+            self.grid, g, self.state.scans, self.state.scan_valid,
+            self.config.grid, force_full=force_full,
+        )
+        return self.grid
+
+    def map_probability(self):
+        """(size, size) occupancy probabilities of the live grid (projects
+        first if no epoch has run yet)."""
+        if self.grid is None:
+            self.project_map()
+        return occupancy.occupancy_probability(self.grid)
+
+    def map_ternary(self):
+        """ROS-style -1/0/100 occupancy classes of the live grid."""
+        if self.grid is None:
+            self.project_map()
+        return occupancy.to_ternary(self.grid)
 
     def reregister_scans(self, k_targets: int = 4):
         """Scan re-registration timer equivalent."""
@@ -1122,6 +1159,9 @@ class Slam:
             self.state, perm = compact_state(self.state)
             info["compact_perm"] = perm
             hw = live
+            # compaction permutes slots: the grid's slot-aligned drift
+            # snapshot is stale — rebuild from scratch on next projection
+            self.grid = None
         self._n_slots_host = hw
         return info
 

@@ -12,6 +12,7 @@ Endpoints:
 - ``GET  /trajectory``  → JSON {stamps, poses} of valid nodes
 - ``GET  /graph``       → JSON marker export (viz.graph_to_dict)
 - ``GET  /stats``       → node/edge counts + metrics summary
+- ``GET  /map``         → RLE occupancy grid (resolution, origin, cells)
 - ``POST /checkpoint``  body {"path": ...} → snapshot state
 - ``POST /shutdown``
 
@@ -145,6 +146,33 @@ class SlamService:
             out.update(self.metrics.summary())
         return out
 
+    def map_dict(self):
+        """ROS ``nav_msgs/OccupancyGrid``-shaped export of the live map
+        (the reference's ``/map`` topic from OccupancyGridProjector).
+        Cells are run-length encoded [value, count] pairs in row-major
+        order — a mostly-unknown 256x256 grid compresses ~100x."""
+        with self.lock:
+            tern = np.asarray(self.slam.map_ternary(), dtype=np.int8)
+            grid = self.slam.grid
+            origin = np.asarray(grid.origin, np.float64).tolist()
+            res = self.slam.config.grid.resolution
+        flat = tern.reshape(-1)
+        # run-length encode
+        change = np.nonzero(np.diff(flat))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(flat)]])
+        rle = [[int(flat[s]), int(e - s)] for s, e in zip(starts, ends)]
+        return {
+            "resolution": res,
+            "width": int(tern.shape[1]),
+            "height": int(tern.shape[0]),
+            "origin": origin,
+            "rle": rle,
+            "n_occupied": int((flat == 100).sum()),
+            "n_free": int((flat == 0).sum()),
+            "n_unknown": int((flat == -1).sum()),
+        }
+
     def checkpoint(self, path: str):
         from uzliti_slam_tpu.io import storage
         with self.lock:
@@ -173,6 +201,8 @@ def make_handler(service: SlamService):
                     self._json(service.graph_dict())
                 elif self.path == "/stats":
                     self._json(service.stats())
+                elif self.path == "/map":
+                    self._json(service.map_dict())
                 else:
                     self._json({"error": f"unknown path {self.path}"}, 404)
             except Exception as e:  # pragma: no cover

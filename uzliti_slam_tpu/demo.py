@@ -131,7 +131,9 @@ def main_local_global(args):
         if (i + 1) % 6 == 0:
             ex = duo.exchange()
             print(f"frame {i:3d}: exchange acked={ex['acked_nodes']} "
-                  f"evicted_local={ex['evicted_local']} merged_global={ex['merged_global']}")
+                  f"evicted_local={ex['evicted_local']} "
+                  f"merged_global={ex['merged_global']} "
+                  f"proposed_global={ex['proposed_global']}")
     # drain the resend queue
     for _ in range(8):
         duo.exchange()
@@ -145,6 +147,9 @@ def main_local_global(args):
     n_local = int(np.asarray(duo.local.state.graph.node_valid).sum())
     print(f"\n== global map: {len(poses)} nodes ({keyframe_rows.sum()} keyframes); "
           f"local window: {n_local} live nodes")
+    tern = np.asarray(duo.global_slam.map_ternary())
+    print(f"== global occupancy {tern.shape[0]}x{tern.shape[1]}: "
+          f"{(tern == 100).sum()} occupied, {(tern == 0).sum()} free")
     print(f"== global ATE {ate:.4f} m  ({dt:.1f}s wall)")
     ok = ate < 0.25 and n_local < len(poses)
     print("== RESULT:", "PASS" if ok else "FAIL")

@@ -53,6 +53,17 @@ class GraphDelta(NamedTuple):
     e_info: jax.Array      # (De, 6, 6)
     e_score: jax.Array     # (De,)
     e_valid: jax.Array     # (De,) bool — validated flag travels with edge
+    # --- sensor payloads (optional) ---
+    # The reference's Node.msg ships the full SensorDataArray per node
+    # (graph_slam_msgs/msg/Node.msg:1-19); the global re-runs place
+    # recognition on receipt and merges scans (graph_slam_node.cpp:473-476,
+    # 890-1062). ``feat_budget`` in make_delta bounds the descriptor rows
+    # shipped per node (the wire-size budget).
+    n_desc: jax.Array | None = None        # (Dn, F, 32) uint8
+    n_desc_valid: jax.Array | None = None  # (Dn, F)
+    n_points: jax.Array | None = None      # (Dn, F, 3) base-frame keypoints
+    n_scan: jax.Array | None = None        # (Dn, B) virtual-scan ranges
+    n_scan_valid: jax.Array | None = None  # (Dn,)
 
 
 class Ack(NamedTuple):
@@ -90,8 +101,19 @@ def make_delta(
     gists: jax.Array,
     max_nodes: int = 32,
     max_edges: int = 64,
+    desc: jax.Array | None = None,
+    desc_valid: jax.Array | None = None,
+    points: jax.Array | None = None,
+    scans: jax.Array | None = None,
+    scan_valid: jax.Array | None = None,
+    feat_budget: int | None = None,
 ) -> GraphDelta:
-    """Pack up to (max_nodes, max_edges) un-ACKed valid entries."""
+    """Pack up to (max_nodes, max_edges) un-ACKed valid entries.
+
+    Pass the per-node sensor banks to ship full sensor payloads (the
+    reference's Node.msg SensorDataArray); ``feat_budget`` caps the
+    descriptor rows per node (banks are response-ordered, so the slice
+    keeps the strongest features)."""
     n_sel = jnp.nonzero(
         g.node_valid & ~ship.node_acked, size=max_nodes, fill_value=-1
     )[0]
@@ -105,7 +127,19 @@ def make_delta(
     epresent = e_sel >= 0
     es = jnp.where(epresent, e_sel, 0)
 
+    fb = slice(None, feat_budget)
+    payload = {}
+    if desc is not None:
+        payload["n_desc"] = desc[ns, fb]
+        payload["n_desc_valid"] = desc_valid[ns, fb] & npresent[:, None]
+    if points is not None:
+        payload["n_points"] = points[ns, fb]
+    if scans is not None:
+        payload["n_scan"] = scans[ns]
+        payload["n_scan_valid"] = scan_valid[ns] & npresent
+
     return GraphDelta(
+        **payload,
         n_uid=jnp.where(npresent, g.node_uid[ns], -1),
         n_pose=g.pose[ns],
         n_odom_pose=g.odom_pose[ns],

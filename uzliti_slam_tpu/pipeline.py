@@ -532,6 +532,125 @@ def process_frame_chunk(
     return jax.lax.scan(step, state, kfs)
 
 
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def recognize_absorbed(
+    state: SlamState,
+    slots: jax.Array,       # (K,) node slots freshly absorbed from a delta
+    mask: jax.Array,        # (K,) run PR for this slot?
+    config: SlamConfig = SlamConfig(),
+) -> tuple[SlamState, jax.Array]:
+    """Global-side place recognition + registration for absorbed nodes.
+
+    The reference's global instance re-runs its PlaceRecognizer on every
+    received node and feeds matches to the transformation estimator
+    (``graph_slam_node.cpp:473-476``). Here the shipped sensor payloads
+    (descriptors/points/gist, ``GraphDelta.n_desc…``) already sit in the
+    banks, so each absorbed slot runs the configured retrieval + batched
+    RANSAC registration; accepted edges enter invalid-until-validated.
+
+    Methods: "gist" and "feature_set" query straight from the shipped
+    banks; "repository"/"bow" (whose incremental index state is not part
+    of the wire format) fall back to the feature_set query — same
+    candidates, different index.
+    """
+    rc = config.recognition
+    ec = config.estimation
+
+    def one(st: SlamState, xs):
+        slot, ok = xs
+        s = jnp.maximum(slot, 0)
+        g = st.graph
+        prng, k_ransac = jax.random.split(st.prng)
+        st = st._replace(prng=prng)
+        stamp = g.stamp[s]
+        k = rc.k_candidates
+
+        if rc.method == "gist":
+            pr_slots, _sc, pr_ok = rec.gist_query(
+                st.gist, st.gist.desc[s], stamp, k=k,
+                max_dist=rc.gist_max_dist, min_dt=rc.min_time_separation,
+            )
+        else:
+            fbank = rec.FeatureSetBank(
+                desc=st.desc,
+                desc_valid=st.desc_valid & g.node_valid[:, None],
+                stamp=g.stamp,
+                valid=g.node_valid
+                & (jnp.sum(st.desc_valid, axis=-1) >= rc.min_descriptors),
+            )
+            pr_slots, _sc, pr_ok = rec.feature_set_query(
+                fbank, st.desc[s], st.desc_valid[s], stamp, k=k,
+                hamming_thresh=rc.feature_hamming_thresh,
+                min_similarity=rc.min_similarity,
+                min_dt=rc.min_time_separation,
+            )
+            pr_ok &= jnp.sum(st.desc_valid[s]) >= rc.min_descriptors
+        pr_ok &= ok & (pr_slots != s)
+
+        # dedup against existing edges (presence-keyed, both directions)
+        edge_present = jnp.arange(g.edge_capacity) < g.num_edges
+        pr_ok &= rec.mask_existing_pairs(
+            g.e_from, g.e_to, edge_present, pr_slots,
+            jnp.full_like(pr_slots, s),
+        )
+        nb = pr_slots.shape[0]
+        earlier_dup = (
+            (pr_slots[None, :] == pr_slots[:, None])
+            & pr_ok[None, :]
+            & (jnp.arange(nb)[None, :] < jnp.arange(nb)[:, None])
+        )
+        pr_ok &= ~jnp.any(earlier_dup, axis=-1)
+
+        cur_bits = matching.unpack_bits(st.desc[s])
+        cur_valid = st.desc_valid[s]
+        cur_pts = st.points[s]
+
+        def register(cslot, key):
+            mi, ok_m, dist = matching.match_descriptors(
+                cur_bits, matching.unpack_bits(st.desc[cslot]),
+                valid_a=cur_valid, valid_b=st.desc_valid[cslot],
+                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+            )
+            return ransac.ransac_rigid(
+                key, cur_pts, st.points[cslot][mi], ok_m,
+                n_hypotheses=ec.ransac_hypotheses,
+                inlier_thresh=ec.ransac_inlier_thresh,
+                min_consensus=ec.min_consensus,
+                quality=-dist,
+            )
+
+        rkeys = jax.random.split(k_ransac, nb)
+        res = jax.vmap(register)(jnp.maximum(pr_slots, 0), rkeys)
+        t_norm = jnp.linalg.norm(lie.pose_t(res.pose), axis=-1)
+        r_deg = jnp.degrees(lie.rotation_angle(lie.pose_q(res.pose)))
+        edge_ok = (
+            pr_ok
+            & res.ok
+            & (res.consensus >= ec.min_matching_score)
+            & (t_norm < ec.max_edge_translation)
+            & (r_deg < ec.max_edge_rotation_deg)
+        )
+
+        def add_cand(gg, ys):
+            cslot, okk, pose, info, consensus = ys
+            gg, _ = gstate.add_edge(
+                gg, jnp.where(okk, cslot, -1), s, pose, info,
+                etype=gstate.EDGE_TYPE_3D_FULL,
+                score=consensus.astype(jnp.float32),
+                valid=False,
+            )
+            return gg, None
+
+        g, _ = jax.lax.scan(
+            add_cand, g,
+            (pr_slots, edge_ok, res.pose, res.information, res.consensus),
+        )
+        return st._replace(graph=g), jnp.sum(edge_ok)
+
+    state, counts = jax.lax.scan(one, state, (slots, mask))
+    return state, jnp.sum(counts)
+
+
 def _scan_pts(ranges: jax.Array, n_bins: int):
     s = scan_ops.Scan(
         ranges, ranges, jnp.float32(-jnp.pi), jnp.float32(jnp.pi)

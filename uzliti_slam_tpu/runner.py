@@ -60,17 +60,55 @@ def global_config(base: SlamConfig | None = None) -> SlamConfig:
 
 
 @jax.jit
-def _absorb_gists_jit(gist, graph, uids, gists, stamps):
+def _absorb_payloads_jit(state, delta):
+    """Scatter a delta's sensor payloads into the global banks: gist into
+    the PR bank (the reference re-runs PR on received nodes, ``:473-476``)
+    plus descriptors/3-D points/virtual scans (``Node.msg`` ships the full
+    SensorDataArray). Returns (state, slots, fresh) where ``fresh`` marks
+    nodes whose payload just landed (drive ``pipeline.recognize_absorbed``
+    with it)."""
+    graph = state.graph
+    uids = delta.n_uid
     slots = scope.uid_to_slot(graph, uids)
+    ok = (uids >= 0) & (slots >= 0)
+    safe = jnp.where(ok, slots, 0)
 
     def body(gb, i):
         gb = rec.gist_bank_add(
-            gb, jnp.where(uids[i] >= 0, slots[i], -1), gists[i], stamps[i]
+            gb, jnp.where(ok[i], slots[i], -1), delta.n_gist[i],
+            delta.n_stamp[i],
         )
         return gb, None
 
-    gist, _ = jax.lax.scan(body, gist, jnp.arange(uids.shape[0]))
-    return gist
+    gist, _ = jax.lax.scan(body, state.gist, jnp.arange(uids.shape[0]))
+    state = state._replace(gist=gist)
+
+    # Empty payloads never clobber: a local instance re-ships boundary
+    # anchors it received from scope replies (their local banks are empty),
+    # and those must not wipe the global's real sensor data. Ineligible
+    # rows scatter to an OOB index and drop (never to slot 0).
+    if delta.n_desc is not None:
+        f = delta.n_desc.shape[1]
+        has_payload = ok & jnp.any(delta.n_desc_valid, axis=-1)
+        wslot = jnp.where(has_payload, slots, graph.node_capacity)
+        # bank may hold more rows than the shipped budget: fill the front
+        fresh = has_payload & ~jnp.any(state.desc_valid[safe], axis=-1)
+        state = state._replace(
+            desc=state.desc.at[wslot, :f].set(delta.n_desc, mode="drop"),
+            desc_valid=state.desc_valid.at[wslot, :f].set(
+                delta.n_desc_valid, mode="drop"
+            ),
+            points=state.points.at[wslot, :f].set(delta.n_points, mode="drop"),
+        )
+    else:
+        fresh = jnp.zeros_like(ok)
+    if delta.n_scan is not None:
+        sslot = jnp.where(ok & delta.n_scan_valid, slots, graph.node_capacity)
+        state = state._replace(
+            scans=state.scans.at[sslot].set(delta.n_scan, mode="drop"),
+            scan_valid=state.scan_valid.at[sslot].set(True, mode="drop"),
+        )
+    return state, slots, fresh
 
 
 def _grow_ship(ship: scope.ShipState, ncap: int, ecap: int) -> scope.ShipState:
@@ -103,13 +141,17 @@ class LocalGlobalSlam:
     """
 
     def __init__(self, config: SlamConfig | None = None, cam=None,
-                 cam_pose=None, delta_nodes: int = 32, delta_edges: int = 64):
+                 cam_pose=None, delta_nodes: int = 32, delta_edges: int = 64,
+                 feat_budget: int | None = None):
         base = config or SlamConfig()
         self.local = pipeline.Slam(local_config(base), cam=cam, cam_pose=cam_pose)
         self.global_slam = pipeline.Slam(global_config(base), cam=cam, cam_pose=cam_pose)
         self.ship = scope.ship_state_init(self.local.state.graph)
         self.delta_nodes = delta_nodes
         self.delta_edges = delta_edges
+        # descriptor rows shipped per node (None = the full bank) — the
+        # wire-size budget of the Node.msg SensorDataArray payload
+        self.feat_budget = feat_budget
         self._last_robot_pose = None
 
     # -- ingestion (local role) -------------------------------------------
@@ -147,13 +189,25 @@ class LocalGlobalSlam:
             )
             gslam.config = new_cfg
 
-        # 1. delta → global, ACK → local
+        # 1. delta → global (full sensor payloads), ACK → local
+        ls = self.local.state
         delta = scope.make_delta(
-            lg, self.ship, self.local.state.gist.desc,
+            lg, self.ship, ls.gist.desc,
             max_nodes=self.delta_nodes, max_edges=self.delta_edges,
+            desc=ls.desc, desc_valid=ls.desc_valid, points=ls.points,
+            scans=ls.scans, scan_valid=ls.scan_valid,
+            feat_budget=self.feat_budget,
         )
         gg, ack = scope.apply_delta(gslam.state.graph, delta)
-        gslam.state = self._absorb_gists(gslam.state._replace(graph=gg), delta)
+        gstate_, slots, fresh = _absorb_payloads_jit(
+            gslam.state._replace(graph=gg), delta
+        )
+        # the global re-runs its PR on received nodes and proposes edges
+        # from the shipped features (graph_slam_node.cpp:473-476)
+        gstate_, n_proposed = pipeline.recognize_absorbed(
+            gstate_, slots, fresh, gslam.config
+        )
+        gslam.state = gstate_
         self.ship = scope.apply_ack(lg, self.ship, ack)
         n_acked = int(jax.device_get(jnp.sum(ack.node_uids >= 0)))
 
@@ -188,18 +242,8 @@ class LocalGlobalSlam:
             "acked_nodes": n_acked,
             "evicted_local": int(jax.device_get(info_l["evicted"])),
             "merged_global": int(jax.device_get(info_g["merged"])),
+            "proposed_global": int(jax.device_get(n_proposed)),
         }
-
-    def _absorb_gists(self, gstate_, delta: scope.GraphDelta):
-        """Index shipped GIST payloads into the global PR bank (the
-        reference re-runs PR on received nodes, ``:473-476``). One jitted
-        scan — not a per-node dispatch loop."""
-        return gstate_._replace(
-            gist=_absorb_gists_jit(
-                gstate_.gist, gstate_.graph, delta.n_uid, delta.n_gist,
-                delta.n_stamp,
-            )
-        )
 
     # -- results ------------------------------------------------------------
 

@@ -67,6 +67,14 @@ class PlaceRecognitionConfig:
 @dataclasses.dataclass(frozen=True)
 class EdgeEstimationConfig:
     """Reference FeatureLinkEstimation.cfg:9-13 + laser params."""
+    # visual registration estimator, the reference's estimator choice
+    # (graph_slam_node.cpp:49 instantiates one TransformationEstimator;
+    # CloudTransformationEstimator / the EPnP twin are the swappable
+    # alternatives, cloud_transformation_estimator.cpp:144-153,
+    # graph_slam_common feature_transformation_estimator.cpp:136-144):
+    # "feature" = Hamming match + 3-pt RANSAC-SVD, "gicp" = dense colored
+    # 6-D ICP on voxel clouds, "pnp" = EPnP-style 2D-3D RANSAC
+    method: str = "feature"
     ransac_hypotheses: int = 128   # ref: <=100 iterations
     ransac_inlier_thresh: float = 0.05
     min_consensus: int = 12
@@ -79,6 +87,14 @@ class EdgeEstimationConfig:
     min_matching_score: float = 10.0
     max_edge_translation: float = 2.0
     max_edge_rotation_deg: float = 60.0
+    # gicp estimator (reference cloud_transformation_estimator.cpp:117-153)
+    gicp_voxel: float = 0.05
+    gicp_max_voxels: int = 256
+    gicp_iterations: int = 20
+    gicp_max_corr: float = 0.2
+    # pnp estimator (reference EPnP twin, 7-pt + reprojection consensus)
+    pnp_hypotheses: int = 64
+    pnp_reproj_px: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

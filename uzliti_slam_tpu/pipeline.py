@@ -75,6 +75,12 @@ class SlamState(NamedTuple):
     repo: rec.FeatureRepository | None = None
     bow: "voc.BowBank | None" = None
     vocab: "voc.Vocabulary | None" = None
+    # voxel-downsampled colored clouds (None unless estimation.method ==
+    # "gicp" — the reference's CloudTransformationEstimator keeps dense
+    # clouds per node; here a fixed-budget voxel cloud per node)
+    clouds: jax.Array | None = None       # (N, V, 3) base-frame points
+    cloud_lab: jax.Array | None = None    # (N, V, 3) CIELAB color
+    cloud_valid: jax.Array | None = None  # (N, V)
 
 
 def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
@@ -97,8 +103,17 @@ def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
                 f"config.recognition.bow_words={rc.bow_words}"
             )
         bow = voc.bow_bank_init(n, rc.bow_words)
+    clouds = cloud_lab = cloud_valid = None
+    if config.estimation.method == "gicp":
+        v = config.estimation.gicp_max_voxels
+        clouds = jnp.zeros((n, v, 3))
+        cloud_lab = jnp.zeros((n, v, 3))
+        cloud_valid = jnp.zeros((n, v), dtype=bool)
     return SlamState(
         graph=gstate.empty_graph(n, config.edge_capacity),
+        clouds=clouds,
+        cloud_lab=cloud_lab,
+        cloud_valid=cloud_valid,
         gist=rec.gist_bank_init(n),
         desc=jnp.zeros((n, f, 32), dtype=jnp.uint8),
         desc_valid=jnp.zeros((n, f), dtype=bool),
@@ -207,14 +222,38 @@ def _keyframe_body(
         # rectified image is also the GIST source (the reference rectifies
         # inside extractBinaryGist, feature_extraction_core.cpp:123-135)
         gist_img = img
-        return desc, pts_base, pts_valid, vscan, gist_img
+        return desc, pts_base, pts_valid, vscan, gist_img, kps.uv, kps.valid
 
-    desc_c, pts_c, valid_c, vscan_c, gist_imgs = jax.vmap(frontend_one)(
-        imgs, deps, cam_poses
-    )
+    desc_c, pts_c, valid_c, vscan_c, gist_imgs, uv_c, kpvalid_c = jax.vmap(
+        frontend_one
+    )(imgs, deps, cam_poses)
     desc = desc_c.reshape(-1, 32)
     pts_base = pts_c.reshape(-1, 3)
     pts_valid = valid_c.reshape(-1)
+
+    # dense voxel cloud for the gicp estimator (the reference's
+    # CloudTransformationEstimator voxel-grids colored clouds,
+    # cloud_transformation_estimator.cpp:117-129); grayscale replicates
+    # into the Lab conversion (mono sensors carry no chroma)
+    cloud_pts = cloud_lab = cloud_ok = None
+    if ec.method == "gicp":
+        from uzliti_slam_tpu.ops import gicp as gicp_ops
+
+        def cloud_one(img, dep, cpose):
+            pc = cam_mod.backproject_image(cam, dep)
+            pb = lie.pose_apply(cpose[None], pc.reshape(-1, 3))
+            ok = (dep.reshape(-1) > 0.1) & jnp.isfinite(dep.reshape(-1))
+            gray = jnp.clip(img.reshape(-1) / 255.0, 0.0, 1.0)
+            lab = gicp_ops.rgb_to_lab(
+                jnp.stack([gray, gray, gray], axis=-1)
+            )
+            return pb, lab, ok
+
+        cp_c, cl_c, co_c = jax.vmap(cloud_one)(imgs, deps, cam_poses)
+        cloud_pts, cloud_lab, cloud_ok = gicp_ops.voxel_downsample(
+            cp_c.reshape(-1, 3), cl_c.reshape(-1, 3), co_c.reshape(-1),
+            ec.gicp_voxel, ec.gicp_max_voxels,
+        )
 
     # merge per-camera virtual scans in polar space (graph_grid_mapper.cpp:45-133)
     def merge_fold(acc, i):
@@ -326,37 +365,105 @@ def _keyframe_body(
     )
     cand_ok &= ~jnp.any(earlier_valid_dup, axis=-1)
 
-    # --- batched candidate registration (RANSAC edges) ---
+    # --- batched candidate registration, method-selected (the reference
+    # instantiates its estimator choice in code, graph_slam_node.cpp:49;
+    # all methods produce (pose T_cand<-cur, info, score, ok) and feed the
+    # same gates + invalid-until-validated filter path) ---
     cur_bits = matching.unpack_bits(desc)
 
-    def register(cslot, key):
-        cdesc = state.desc[cslot]
-        cvalid = state.desc_valid[cslot]
-        cpts = state.points[cslot]
-        mi, ok_m, dist = matching.match_descriptors(
-            cur_bits, matching.unpack_bits(cdesc),
-            valid_a=pts_valid, valid_b=cvalid,
-            ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+    if ec.method == "feature":
+
+        def register(cslot, key):
+            cdesc = state.desc[cslot]
+            cvalid = state.desc_valid[cslot]
+            cpts = state.points[cslot]
+            mi, ok_m, dist = matching.match_descriptors(
+                cur_bits, matching.unpack_bits(cdesc),
+                valid_a=pts_valid, valid_b=cvalid,
+                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+            )
+            res = ransac.ransac_rigid(
+                key, pts_base, cpts[mi], ok_m,
+                n_hypotheses=ec.ransac_hypotheses,
+                inlier_thresh=ec.ransac_inlier_thresh,
+                min_consensus=ec.min_consensus,
+                quality=-dist,  # soft PROSAC: prefer low-Hamming matches
+            )
+            return res.pose, res.information, res.consensus.astype(jnp.float32), res.ok
+
+    elif ec.method == "pnp":
+        from uzliti_slam_tpu.ops import pnp as pnp_ops
+
+        # single-camera pose problem: use camera-0 features (multi-camera
+        # generalized PnP is out of scope — configure "feature" there)
+        uv_all = uv_c.reshape(-1, 2)
+        valid2d = kpvalid_c.reshape(-1) & (
+            jnp.arange(uv_all.shape[0]) < k_per_cam
         )
-        res = ransac.ransac_rigid(
-            key, pts_base, cpts[mi], ok_m,
-            n_hypotheses=ec.ransac_hypotheses,
-            inlier_thresh=ec.ransac_inlier_thresh,
-            min_consensus=ec.min_consensus,
-            quality=-dist,  # soft PROSAC: prefer low-Hamming matches
+        # measured camera-frame depth per observation (0 where the depth
+        # image had no return): breaks the planar two-fold pose ambiguity
+        depth0 = jnp.where(
+            pts_valid,
+            lie.pose_apply(lie.pose_inverse(cam_poses[0])[None], pts_base)[:, 2],
+            0.0,
         )
-        return res
+
+        def register(cslot, key):
+            mi, ok_m, dist = matching.match_descriptors(
+                cur_bits, matching.unpack_bits(state.desc[cslot]),
+                valid_a=valid2d, valid_b=state.desc_valid[cslot],
+                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+            )
+            pr = pnp_ops.pnp_ransac(
+                key, state.points[cslot][mi], uv_all, ok_m,
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                n_hypotheses=ec.pnp_hypotheses,
+                reproj_thresh_px=ec.pnp_reproj_px,
+                min_consensus=ec.min_consensus,
+                depth=depth0,
+            )
+            # pr.pose maps cand-base -> current cam0; the edge stores
+            # T_cand<-cur over BASE frames
+            edge_pose = lie.pose_inverse(lie.pose_compose(cam_poses[0], pr.pose))
+            base = 0.1 * pr.consensus.astype(jnp.float32) / jnp.maximum(
+                pr.reproj_mse, 1e-2
+            )
+            info = jnp.diag(
+                jnp.concatenate([jnp.full((3,), 1.0), jnp.full((3,), 100.0)])
+            ) * base
+            return edge_pose, info, pr.consensus.astype(jnp.float32), pr.ok
+
+    elif ec.method == "gicp":
+        from uzliti_slam_tpu.ops import gicp as gicp_ops
+
+        def register(cslot, key):
+            init = lie.pose_relative(g.pose[cslot], map_pose)
+            rg = gicp_ops.gicp_6d(
+                cloud_pts, cloud_lab, cloud_ok,
+                state.clouds[cslot], state.cloud_lab[cslot],
+                state.cloud_valid[cslot],
+                init_pose=init,
+                iterations=ec.gicp_iterations,
+                max_corr_dist=ec.gicp_max_corr,
+            )
+            ok = rg.ok & jnp.any(state.cloud_valid[cslot])
+            return rg.pose, rg.information, 100.0 * rg.fraction, ok
+
+    else:
+        raise ValueError(f"unknown estimation method {ec.method!r}")
 
     rkeys = jax.random.split(k_ransac, cand_slots.shape[0])
-    res = jax.vmap(register)(jnp.maximum(cand_slots, 0), rkeys)
+    r_pose, r_info, r_score, r_ok = jax.vmap(register)(
+        jnp.maximum(cand_slots, 0), rkeys
+    )
 
     # acceptance gates (newEdgeCallback, graph_slam_node.cpp:798-803)
-    t_norm = jnp.linalg.norm(lie.pose_t(res.pose), axis=-1)
-    r_deg = jnp.degrees(lie.rotation_angle(lie.pose_q(res.pose)))
+    t_norm = jnp.linalg.norm(lie.pose_t(r_pose), axis=-1)
+    r_deg = jnp.degrees(lie.rotation_angle(lie.pose_q(r_pose)))
     edge_ok = (
         cand_ok
-        & res.ok
-        & (res.consensus >= ec.min_matching_score)
+        & r_ok
+        & (r_score >= ec.min_matching_score)
         & (t_norm < ec.max_edge_translation)
         & (r_deg < ec.max_edge_rotation_deg)
     )
@@ -413,7 +520,7 @@ def _keyframe_body(
     # X_cand^-1 X_cur; enter INVALID until the cluster filter validates them
     # (slam_edge.cpp:47 default + g2o_optimizer whitelist)
     def add_cand(gg, xs):
-        cslot, ok, pose, info, consensus = xs
+        cslot, ok, pose, info, score = xs
         gg, _ = gstate.add_edge(
             gg,
             jnp.where(ok, cslot, -1),
@@ -421,14 +528,14 @@ def _keyframe_body(
             pose,
             info,
             etype=gstate.EDGE_TYPE_3D_FULL,
-            score=consensus.astype(jnp.float32),
+            score=score,
             valid=False,
         )
         return gg, None
 
     g, _ = jax.lax.scan(
         add_cand, g,
-        (cand_slots, edge_ok, res.pose, res.information, res.consensus),
+        (cand_slots, edge_ok, r_pose, r_info, r_score),
     )
 
     # --- store node data in banks ---
@@ -448,10 +555,24 @@ def _keyframe_body(
     bow = state.bow
     if rc.method == "bow":
         bow = voc.bow_bank_add(bow, new_slot, bow_vec, kf.stamp)
+    cb = {}
+    if ec.method == "gicp":
+        cb = dict(
+            clouds=state.clouds.at[ns].set(
+                jnp.where(wrote, cloud_pts, state.clouds[ns])
+            ),
+            cloud_lab=state.cloud_lab.at[ns].set(
+                jnp.where(wrote, cloud_lab, state.cloud_lab[ns])
+            ),
+            cloud_valid=state.cloud_valid.at[ns].set(
+                jnp.where(wrote, cloud_ok, state.cloud_valid[ns])
+            ),
+        )
     state = state._replace(
         graph=g,
         repo=repo,
         bow=bow,
+        **cb,
         gist=rec.gist_bank_add(state.gist, new_slot, gist, kf.stamp),
         desc=state.desc.at[ns].set(jnp.where(wrote, desc, state.desc[ns])),
         desc_valid=state.desc_valid.at[ns].set(jnp.where(wrote, pts_valid, state.desc_valid[ns])),
@@ -853,6 +974,34 @@ def _merge_banks(
         merged = scan_ops.points_to_scan(union, union_ok, n_bins=n_bins)
         any_scan = st.scan_valid[ks] | st.scan_valid[a_s]
 
+        # --- voxel-cloud union (gicp method): kept node's free voxel
+        # slots backfill with the absorbed node's, both re-expressed in
+        # the kept node's new frame ---
+        if st.clouds is not None:
+            kvc = st.cloud_valid[ks]
+            avc = st.cloud_valid[a_s]
+            vcap = kvc.shape[0]
+            pri_c = jnp.concatenate(
+                [jnp.where(kvc, 0, 2), jnp.where(avc, 1, 3)]
+            ).astype(jnp.int32)
+            order_c = jnp.argsort(pri_c, stable=True)[:vcap]
+            ck = lie.pose_apply(rel_k[None], st.clouds[ks])
+            ca = lie.pose_apply(rel_a[None], st.clouds[a_s])
+            cl_all = jnp.concatenate([ck, ca])[order_c]
+            lab_all = jnp.concatenate(
+                [st.cloud_lab[ks], st.cloud_lab[a_s]]
+            )[order_c]
+            cval_all = jnp.concatenate([kvc, avc])[order_c]
+            st = st._replace(
+                clouds=st.clouds.at[ks].set(jnp.where(o, cl_all, st.clouds[ks])),
+                cloud_lab=st.cloud_lab.at[ks].set(
+                    jnp.where(o, lab_all, st.cloud_lab[ks])
+                ),
+                cloud_valid=st.cloud_valid.at[ks].set(
+                    jnp.where(o, cval_all, st.cloud_valid[ks])
+                ),
+            )
+
         st = st._replace(
             desc=st.desc.at[ks].set(jnp.where(o, desc_all, st.desc[ks])),
             desc_valid=st.desc_valid.at[ks].set(
@@ -908,12 +1057,16 @@ def maintenance_epoch(
         bow = state.bow
         if bow is not None:
             bow = bow._replace(valid=bow.valid & ~dead)
+        cb = {}
+        if state.cloud_valid is not None:
+            cb = dict(cloud_valid=state.cloud_valid & ~dead[:, None])
         return state._replace(
             gist=state.gist._replace(valid=state.gist.valid & ~dead),
             scan_valid=state.scan_valid & ~dead,
             desc_valid=state.desc_valid & ~dead[:, None],
             repo=repo,
             bow=bow,
+            **cb,
         )
 
     n_merged = jnp.zeros((), jnp.int32)
@@ -985,8 +1138,16 @@ def compact_state(state: SlamState) -> tuple[SlamState, dict]:
         )
     last = state.last_kf_slot
     new_last = jnp.where(last >= 0, inv[jnp.maximum(last, 0)], -1).astype(jnp.int32)
+    cb = {}
+    if state.clouds is not None:
+        cb = dict(
+            clouds=nperm(state.clouds),
+            cloud_lab=nperm(state.cloud_lab),
+            cloud_valid=nperm(state.cloud_valid) & live[:, None],
+        )
     state = state._replace(
         graph=g,
+        **cb,
         gist=rec.GistBank(
             desc=nperm(state.gist.desc),
             stamp=nperm(state.gist.stamp),
@@ -1032,8 +1193,16 @@ def grow_state(state: SlamState, node_capacity: int, edge_capacity: int) -> Slam
         bow = voc.BowBank(
             vec=pad0(bow.vec), stamp=pad0(bow.stamp), valid=pad0(bow.valid)
         )
+    cb = {}
+    if state.clouds is not None:
+        cb = dict(
+            clouds=pad0(state.clouds),
+            cloud_lab=pad0(state.cloud_lab),
+            cloud_valid=pad0(state.cloud_valid),
+        )
     return state._replace(
         graph=g,
+        **cb,
         gist=rec.GistBank(
             desc=pad0(state.gist.desc),
             stamp=pad0(state.gist.stamp),

@@ -176,3 +176,10 @@ class SlamConfig:
     # projection is one async device dispatch after the solve
     grid: GridConfig = GridConfig()
     project_map: bool = True
+    # live write-through persistence (the reference's sync_to_database,
+    # slam_graph.cpp:154-174 + load-at-startup with PR rebuild,
+    # graph_slam_node.cpp:875-888): path of a SQLite graph database. Every
+    # keyframe upserts its node/edges/sensor payload; optimize/maintain
+    # reconcile the whole graph. On construction, a non-empty database is
+    # loaded and the recognition banks rebuilt — kill-and-resume.
+    sync_to_database: str | None = None

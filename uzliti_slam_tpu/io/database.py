@@ -54,6 +54,15 @@ CREATE TABLE IF NOT EXISTS meta (
     key TEXT PRIMARY KEY,
     value BLOB NOT NULL
 );
+CREATE TABLE IF NOT EXISTS sensor_data (
+    uid INTEGER PRIMARY KEY,
+    desc BLOB NOT NULL,
+    desc_valid BLOB NOT NULL,
+    points BLOB NOT NULL,
+    scan BLOB NOT NULL,
+    scan_valid INTEGER NOT NULL,
+    gist BLOB NOT NULL
+);
 """
 
 
@@ -160,6 +169,9 @@ class GraphDatabase:
             "DELETE FROM nodes WHERE uid NOT IN (SELECT uid FROM live_uids)"
         )
         self._db.execute(
+            "DELETE FROM sensor_data WHERE uid NOT IN (SELECT uid FROM live_uids)"
+        )
+        self._db.execute(
             "DELETE FROM edges WHERE slot >= ?", (int(g.num_edges),)
         )
         # persist the high-water marks: uids are minted from num_nodes, so
@@ -169,6 +181,46 @@ class GraphDatabase:
             np.array([int(g.num_nodes), int(g.num_edges)], np.float64),
         )
         self.store_meta("diff_transform", np.asarray(g.diff_transform, np.float64))
+
+    def store_sensor_rows(self, rows) -> int:
+        """Upsert per-node sensor payloads: rows of (uid, desc (F,32) u8,
+        desc_valid (F,) bool, points (F,3) f32, scan (B,) f32,
+        scan_valid bool, gist (32,) u8) — the reference stores the full
+        SensorDataArray per node (``rosbag_storage.cpp:62-105``)."""
+        packed = [
+            (
+                int(uid),
+                np.asarray(desc, np.uint8).tobytes(),
+                np.packbits(np.asarray(dv, bool)).tobytes(),
+                np.asarray(pts, np.float32).tobytes(),
+                np.asarray(scan, np.float32).tobytes(),
+                int(bool(sv)),
+                np.asarray(gist, np.uint8).tobytes(),
+            )
+            for uid, desc, dv, pts, scan, sv, gist in rows
+        ]
+        self._db.executemany(
+            "INSERT OR REPLACE INTO sensor_data VALUES (?,?,?,?,?,?,?)", packed
+        )
+        self._db.commit()
+        return len(packed)
+
+    def load_sensor_rows(self, n_feats: int, n_bins: int):
+        """Yield (uid, desc, desc_valid, points, scan, scan_valid, gist)."""
+        for uid, d, dv, pts, scan, sv, gist in self._db.execute(
+            "SELECT * FROM sensor_data"
+        ):
+            yield (
+                uid,
+                np.frombuffer(d, np.uint8).reshape(n_feats, 32),
+                np.unpackbits(
+                    np.frombuffer(dv, np.uint8), count=n_feats
+                ).astype(bool),
+                np.frombuffer(pts, np.float32).reshape(n_feats, 3),
+                np.frombuffer(scan, np.float32),
+                bool(sv),
+                np.frombuffer(gist, np.uint8),
+            )
 
     def remove_node(self, uid: int) -> None:
         self._db.execute("DELETE FROM nodes WHERE uid=?", (int(uid),))

@@ -1258,6 +1258,173 @@ class Slam:
         # this is what gates capacity growth (NOT the total keyframe count,
         # which never shrinks when eviction frees slots)
         self._n_slots_host = 0
+        # live persistence (reference sync_to_database, slam_graph.cpp:154-174)
+        self._db = None
+        self._db_num_edges = 0
+        if config.sync_to_database:
+            from uzliti_slam_tpu.io.database import GraphDatabase
+
+            self._db = GraphDatabase(config.sync_to_database)
+            if self._db.counts()[0] > 0:
+                self._resume_from_db()
+
+    # -- live persistence (reference sync_to_database + loadGraph) ---------
+
+    def _resume_from_db(self):
+        """Rebuild the full SLAM state from the database: graph rows,
+        sensor payloads, recognition banks (the reference re-runs PR
+        indexing on load, ``graph_slam_node.cpp:875-888``)."""
+        import dataclasses as _dc
+
+        import numpy as np
+
+        db = self._db
+        n_db, e_db = db.counts()
+        counters = db.load_meta("counters")
+        need_n = max(n_db, int(counters[0]) if counters is not None else 0)
+        while (need_n >= int(0.9 * self.config.node_capacity)
+               or e_db >= int(0.9 * self.config.edge_capacity)):
+            self.config = _dc.replace(
+                self.config,
+                node_capacity=self.config.node_capacity * 2,
+                edge_capacity=self.config.edge_capacity * 2,
+            )
+            self.state = grow_state(
+                self.state, self.config.node_capacity, self.config.edge_capacity
+            )
+        g = db.load_graph(self.config.node_capacity, self.config.edge_capacity)
+        st = self.state
+        f = st.desc.shape[1]
+        b = st.scans.shape[1]
+        uids = np.asarray(g.node_uid)
+        valid = np.asarray(g.node_valid)
+        slot_of = {int(u): s for s, u in enumerate(uids) if valid[s]}
+        desc = np.zeros(st.desc.shape, np.uint8)
+        desc_valid = np.zeros(st.desc_valid.shape, bool)
+        points = np.zeros(st.points.shape, np.float32)
+        scans = np.full(st.scans.shape, np.inf, np.float32)
+        scan_valid = np.zeros(st.scan_valid.shape, bool)
+        gists = np.zeros((st.desc.shape[0], 32), np.uint8)
+        has_gist = np.zeros(st.desc.shape[0], bool)
+        for uid, d, dv, pts, scan, sv, gist in db.load_sensor_rows(f, b):
+            s = slot_of.get(int(uid))
+            if s is None:
+                continue
+            desc[s], desc_valid[s], points[s] = d, dv, pts
+            scans[s], scan_valid[s] = scan, sv
+            gists[s], has_gist[s] = gist, True
+
+        # newest keyframe (anchor nodes — GPS origin, scope boundaries —
+        # are not keyframes)
+        stamps = np.asarray(g.stamp)
+        is_kf = valid & (uids // 1_000_000 == self.config.instance_id) & (
+            uids != GPS_ANCHOR_UID
+        )
+        last = int(np.argmax(np.where(is_kf, stamps, -np.inf))) if is_kf.any() else -1
+        nk_meta = db.load_meta("n_keyframes")
+        n_kf = int(nk_meta[0]) if nk_meta is not None else int(is_kf.sum())
+
+        st = st._replace(
+            graph=g,
+            gist=rec.GistBank(
+                desc=jnp.asarray(gists),
+                stamp=jnp.asarray(stamps, jnp.float32),
+                valid=jnp.asarray(has_gist & valid),
+            ),
+            desc=jnp.asarray(desc),
+            desc_valid=jnp.asarray(desc_valid),
+            points=jnp.asarray(points),
+            scans=jnp.asarray(scans),
+            scan_valid=jnp.asarray(scan_valid),
+            last_kf_slot=jnp.asarray(last, jnp.int32),
+            last_kf_odom=(
+                g.odom_pose[last] if last >= 0 else st.last_kf_odom
+            ),
+            n_keyframes=jnp.asarray(n_kf, jnp.int32),
+        )
+        # method-specific PR index rebuild from the restored descriptors
+        rc = self.config.recognition
+        if rc.method == "repository":
+            order = np.argsort(stamps)
+            for s in order:
+                if not (valid[s] and desc_valid[s].any()):
+                    continue
+                st = st._replace(
+                    repo=rec.repository_add(
+                        st.repo, jnp.asarray(int(s)), jnp.asarray(desc[s]),
+                        jnp.asarray(desc_valid[s]),
+                        jnp.asarray(float(stamps[s])),
+                        match_thresh=rc.feature_hamming_thresh,
+                    )
+                )
+        elif rc.method == "bow":
+            bow = st.bow
+            for s in range(len(valid)):
+                if not (valid[s] and desc_valid[s].any()):
+                    continue
+                vec = voc.quantize(
+                    st.vocab, jnp.asarray(desc[s]), jnp.asarray(desc_valid[s])
+                )
+                bow = voc.bow_bank_add(
+                    bow, jnp.asarray(s, jnp.int32), vec,
+                    jnp.asarray(float(stamps[s])),
+                )
+            st = st._replace(bow=bow)
+        self.state = st
+        self._n_kf_host = n_kf
+        self._n_slots_host = int(jax.device_get(g.num_nodes))
+        self._db_num_edges = int(jax.device_get(g.num_edges))
+        self._last_kf_odom_host = np.asarray(st.last_kf_odom)
+
+    def _db_sync_keyframe(self, info):
+        """Write-through of the just-inserted node + its new edges + sensor
+        payload (``slam_graph.cpp:154-156, 337-339``)."""
+        import numpy as np
+
+        slot = int(jax.device_get(info["new_slot"]))
+        if slot < 0:
+            return
+        g = self.state.graph
+        st = self.state
+        self._db.store_nodes(g, [slot])
+        ne = int(jax.device_get(g.num_edges))
+        if ne > self._db_num_edges:
+            self._db.store_edges(g, np.arange(self._db_num_edges, ne))
+        self._db_num_edges = ne
+        self._db.store_sensor_rows([(
+            int(jax.device_get(g.node_uid[slot])),
+            jax.device_get(st.desc[slot]),
+            jax.device_get(st.desc_valid[slot]),
+            jax.device_get(st.points[slot]),
+            jax.device_get(st.scans[slot]),
+            bool(jax.device_get(st.scan_valid[slot])),
+            jax.device_get(st.gist.desc[slot]),
+        )])
+
+    def _db_sync_full(self):
+        """Reconciling full sync after optimize/maintain (poses moved,
+        nodes merged/evicted, slots compacted)."""
+        import numpy as np
+
+        g = self.state.graph
+        st = self.state
+        self._db.sync_graph(g)
+        self._db.store_meta(
+            "n_keyframes", np.array([self._n_kf_host], np.float64)
+        )
+        valid = np.asarray(g.node_valid)
+        uids = np.asarray(g.node_uid)
+        desc = np.asarray(st.desc)
+        dv = np.asarray(st.desc_valid)
+        pts = np.asarray(st.points)
+        scans = np.asarray(st.scans)
+        sv = np.asarray(st.scan_valid)
+        gists = np.asarray(st.gist.desc)
+        self._db.store_sensor_rows([
+            (int(uids[s]), desc[s], dv[s], pts[s], scans[s], bool(sv[s]), gists[s])
+            for s in np.nonzero(valid)[0]
+        ])
+        self._db_num_edges = int(jax.device_get(g.num_edges))
 
     def add_frame(self, image, depth, odom_pose, stamp, cam_disp=None) -> dict | None:
         """Process a frame if keyframe-due; returns step info (device
@@ -1300,6 +1467,8 @@ class Slam:
         self._n_kf_host += 1
         self._n_slots_host += 1
         self._since_opt += 1
+        if self._db is not None:
+            self._db_sync_keyframe(info)
         if self._since_opt >= self.optimize_every:
             self.optimize()
         return info
@@ -1346,6 +1515,8 @@ class Slam:
         self._n_kf_host += n_new
         self._n_slots_host += n_new
         self._since_opt += n_new
+        if self._db is not None and n_new:
+            self._db_sync_full()
         if self._since_opt >= self.optimize_every:
             self.optimize()
         return infos
@@ -1392,6 +1563,8 @@ class Slam:
         self._since_opt = 0
         if self.config.project_map:
             self.project_map()
+        if self._db is not None:
+            self._db_sync_full()
         return stats
 
     def project_map(self, force_full: bool = False):
@@ -1451,6 +1624,8 @@ class Slam:
             # snapshot is stale — rebuild from scratch on next projection
             self.grid = None
         self._n_slots_host = hw
+        if self._db is not None:
+            self._db_sync_full()
         return info
 
     def trajectory(self):

@@ -77,6 +77,8 @@ class EdgeEstimationConfig:
     method: str = "feature"
     ransac_hypotheses: int = 128   # ref: <=100 iterations
     ransac_inlier_thresh: float = 0.05
+    ransac_min_sigma: float = 0.01  # sensor noise floor (m) for the
+                                  # consensus/mse information model
     min_consensus: int = 12
     match_ratio: float = 0.9       # ref 0.99; tightened default
     max_match_distance: float = 64.0

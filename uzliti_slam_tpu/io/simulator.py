@@ -106,6 +106,96 @@ def out_and_back_trajectory(n: int, length: float = 6.0):
     return tx, ty
 
 
+def multi_lap_trajectory(n: int, length: float = 12.0, laps: int = 5):
+    """(tx, ty) waypoints for ``laps`` out-and-back passes along the wall —
+    every lap revisits the full corridor (genuine loop closures at scale)."""
+    t = np.linspace(0.0, laps, n)
+    # triangle wave in [0, 1]
+    tri = 1.0 - np.abs(2.0 * (t - np.floor(t)) - 1.0)
+    return np.zeros(n), tri * length
+
+
+def export_tum_dataset(
+    root: str,
+    n_frames: int = 1040,
+    length: float = 13.0,
+    laps: int = 5,
+    img_h: int = 480,
+    img_w: int = 640,
+    f: float = 525.0,
+    odom_drift: float = 0.03,
+    seed: int = 0,
+    fps: float = 10.0,
+) -> str:
+    """Write a full TUM RGB-D directory rendered from the simulator:
+    ``rgb/``+``depth/`` 8/16-bit PNGs, ``rgb.txt``/``depth.txt`` indexes,
+    ``groundtruth.txt`` and ``odometry.txt`` trajectories (the drifted
+    wheel odometry the reference's dataset bags carry,
+    ``dataset.launch:1-36``). Idempotent: returns immediately when the
+    directory already holds a complete export with the same parameters."""
+    import json
+    import os
+
+    from uzliti_slam_tpu.io import tum
+
+    params = dict(
+        n_frames=n_frames, length=length, laps=laps, img_h=img_h,
+        img_w=img_w, f=f, odom_drift=odom_drift, seed=seed, fps=fps,
+    )
+    stamp_file = os.path.join(root, "params.json")
+    if os.path.exists(stamp_file):
+        with open(stamp_file) as fh:
+            if json.load(fh) == params:
+                return root
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    # texture long enough for the corridor (tex wraps at tex_size/px_per_m)
+    world = WallWorld(
+        img_h=img_h, img_w=img_w, f=f,
+        tex_size=8192, px_per_m=int(8192 / (length + 8)),
+    )
+    rng = np.random.default_rng(seed)
+    tx, ty = multi_lap_trajectory(n_frames, length, laps)
+    bias = rng.normal(0, odom_drift, 2)
+    odom = np.zeros(2)
+    prev = np.array([tx[0], ty[0]])
+    rgb_lines, dep_lines, gt_rows, od_rows = [], [], [], []
+    for i in range(n_frames):
+        stamp = i / fps
+        gt_xy = np.array([tx[i], ty[i]])
+        step = gt_xy - prev
+        noise = rng.normal(0, odom_drift / 2, 2)
+        odom = odom + step + (bias + noise) * np.linalg.norm(step)
+        prev = gt_xy
+        img, dep_mm = world.render(tx[i], ty[i])
+        # TUM depth png: meters * 5000
+        dep16 = (dep_mm.astype(np.float64) * (tum.DEPTH_SCALE / 1000.0))
+        dep16 = np.clip(dep16, 0, 65535).astype(np.uint16)
+        rname = f"rgb/{stamp:.6f}.png"
+        dname = f"depth/{stamp:.6f}.png"
+        tum.write_png_gray(os.path.join(root, rname), img)
+        tum.write_png_gray(os.path.join(root, dname), dep16)
+        rgb_lines.append(f"{stamp:.6f} {rname}")
+        dep_lines.append(f"{stamp:.6f} {dname}")
+        gt_rows.append((stamp, [gt_xy[0], gt_xy[1], 0.0, 1.0, 0.0, 0.0, 0.0]))
+        od_rows.append((stamp, [odom[0], odom[1], 0.0, 1.0, 0.0, 0.0, 0.0]))
+    with open(os.path.join(root, "rgb.txt"), "w") as fh:
+        fh.write("# color images\n" + "\n".join(rgb_lines) + "\n")
+    with open(os.path.join(root, "depth.txt"), "w") as fh:
+        fh.write("# depth images\n" + "\n".join(dep_lines) + "\n")
+    tum.write_trajectory(
+        os.path.join(root, "groundtruth.txt"),
+        [s for s, _ in gt_rows], np.asarray([p for _, p in gt_rows]),
+    )
+    tum.write_trajectory(
+        os.path.join(root, "odometry.txt"),
+        [s for s, _ in od_rows], np.asarray([p for _, p in od_rows]),
+    )
+    with open(stamp_file, "w") as fh:
+        json.dump(params, fh)
+    return root
+
+
 def simulate_sequence(
     world: WallWorld,
     n_frames: int = 30,

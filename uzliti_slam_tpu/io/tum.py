@@ -148,18 +148,59 @@ def read_png_gray(path: str) -> np.ndarray:
     return out
 
 
+def write_png_gray(path: str, arr: np.ndarray) -> None:
+    """Minimal PNG writer for 8-bit (uint8) / 16-bit (uint16) grayscale —
+    the TUM wire formats (rgb stored as gray; depth as 16-bit, meters x
+    5000). Filter 0 rows + fast zlib; no external deps."""
+    arr = np.asarray(arr)
+    h, w = arr.shape
+    if arr.dtype == np.uint16:
+        bit_depth = 16
+        body = arr.astype(">u2").tobytes()
+        stride = w * 2
+    else:
+        bit_depth = 8
+        body = arr.astype(np.uint8).tobytes()
+        stride = w
+    rows = b"".join(
+        b"\x00" + body[r * stride:(r + 1) * stride] for r in range(h)
+    )
+    idat = zlib.compress(rows, 1)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", idat))
+        f.write(chunk(b"IEND", b""))
+
+
 def load_sequence(root: str, max_frames: int | None = None, stride: int = 1):
     """Yield dicts of (image, depth, gt_pose, stamp) from a TUM directory."""
     rgb = read_index(os.path.join(root, "rgb.txt"))
     dep = read_index(os.path.join(root, "depth.txt"))
     gt_path = os.path.join(root, "groundtruth.txt")
     gt = read_groundtruth(gt_path) if os.path.exists(gt_path) else []
+    # odometry.txt (same trajectory format): the reference's dataset bags
+    # carry wheel-odometry topics alongside the camera
+    # (iti_slam_launch/launch/dataset.launch:1-36); TUM-format exports from
+    # the simulator write it, real TUM sequences lack it (frames then carry
+    # odom_pose=None and the caller supplies its own odometry source)
+    odo_path = os.path.join(root, "odometry.txt")
+    odo = read_groundtruth(odo_path) if os.path.exists(odo_path) else []
     pairs = associate(rgb, dep)
     if stride > 1:
         pairs = pairs[::stride]
     if max_frames:
         pairs = pairs[:max_frames]
     gt_stamps = np.array([g[0] for g in gt]) if gt else None
+    odo_stamps = np.array([o[0] for o in odo]) if odo else None
     # Async native data loader (runtime/prefetch.cpp worker pool; python-
     # thread fallback): decode runs AHEAD of the consumer so host IO
     # overlaps device compute — the dataset analog of the reference's C++
@@ -184,7 +225,15 @@ def load_sequence(root: str, max_frames: int | None = None, stride: int = 1):
                 gi = int(np.argmin(np.abs(gt_stamps - srgb)))
                 if abs(gt_stamps[gi] - srgb) < 0.05:
                     pose = gt[gi][1]
-            yield dict(image=img, depth=depth, stamp=srgb, gt_pose=pose)
+            odom_pose = None
+            if odo:
+                oi = int(np.argmin(np.abs(odo_stamps - srgb)))
+                if abs(odo_stamps[oi] - srgb) < 0.05:
+                    odom_pose = odo[oi][1]
+            yield dict(
+                image=img, depth=depth, stamp=srgb, gt_pose=pose,
+                odom_pose=odom_pose,
+            )
     finally:
         pf.close()
 

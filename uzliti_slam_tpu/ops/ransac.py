@@ -130,6 +130,7 @@ def ransac_rigid(
     min_consensus: int = 12,
     weights: jax.Array | None = None,
     quality: jax.Array | None = None,
+    min_sigma: float = 0.01,
 ) -> RansacResult:
     """Batched robust rigid-transform fit between corresponded 3-D points.
 
@@ -181,8 +182,12 @@ def ransac_rigid(
     mse = jnp.sum(err2_refit * inl_refit) / jnp.maximum(consensus, 1)
 
     # Information model: 0.1·consensus/mse, rotation block ×100
-    # (``feature_transformation_estimator.cpp:133-136``).
-    base = 0.1 * consensus.astype(jnp.float32) / jnp.maximum(mse, 1e-8)
+    # (``feature_transformation_estimator.cpp:133-136``). The mse is
+    # floored at min_sigma² — a sensor noise floor. On near-noiseless
+    # (quantized) data the raw formula yields ~1e8 information, which (a)
+    # overstates certainty the sensor does not have and (b) pushes the
+    # Hessian's condition number beyond what any fixed CG budget solves.
+    base = 0.1 * consensus.astype(jnp.float32) / jnp.maximum(mse, min_sigma**2)
     diag = jnp.concatenate([jnp.full((3,), base), jnp.full((3,), base * 100.0)])
     information = jnp.diag(diag)
 

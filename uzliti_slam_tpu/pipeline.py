@@ -388,6 +388,7 @@ def _keyframe_body(
                 inlier_thresh=ec.ransac_inlier_thresh,
                 min_consensus=ec.min_consensus,
                 quality=-dist,  # soft PROSAC: prefer low-Hamming matches
+                min_sigma=ec.ransac_min_sigma,
             )
             return res.pose, res.information, res.consensus.astype(jnp.float32), res.ok
 
@@ -738,6 +739,7 @@ def recognize_absorbed(
                 inlier_thresh=ec.ransac_inlier_thresh,
                 min_consensus=ec.min_consensus,
                 quality=-dist,
+                min_sigma=ec.ransac_min_sigma,
             )
 
         rkeys = jax.random.split(k_ransac, nb)

@@ -57,15 +57,84 @@ def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="chain",
 
 
 def bench_batched_instances(batch, n_nodes, lm_iters, reps):
-    import jax.numpy as jnp
+    """Fleet rung: DISTINCT per-instance graphs (split PRNG keys -> each
+    instance gets its own noise realization and convergence path) at the
+    full 20-LM-iteration configuration — no broadcast shortcuts."""
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
-    g, _ = synthetic.make_pose_graph(jax.random.PRNGKey(0), n_nodes, loop_closure_every=8)
-    batched = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), g)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    make = jax.jit(jax.vmap(
+        lambda k: synthetic.make_pose_graph(k, n_nodes, loop_closure_every=8)[0]
+    ))
+    batched = make(keys)
+    jax.block_until_ready(batched.pose)
     cfg = solver.SolverConfig(iterations=lm_iters, pcg_iterations=16)
     step = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[0].pose))
     return timeit(lambda: step(batched), reps)
+
+
+def bench_sharded_overhead(n_nodes, reps):
+    """optimize_sharded at mesh=1 vs plain optimize on the same graph —
+    quantifies the shard_map + psum overhead that the multi-chip path
+    pays per device (BASELINE: >=70% 2-host scaling efficiency)."""
+    from jax.sharding import Mesh
+
+    from uzliti_slam_tpu.graph import solver
+    from uzliti_slam_tpu.io import synthetic
+    from uzliti_slam_tpu.parallel import sharded
+
+    g, _ = synthetic.make_pose_graph(jax.random.PRNGKey(0), n_nodes, loop_closure_every=10)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("edge",))
+    g = sharded.pad_edges_to_multiple(g, 1)
+    cfg = solver.SolverConfig()
+    step_plain = jax.jit(lambda gr: solver.optimize(gr, cfg)[0].pose)
+    step_shard = jax.jit(
+        lambda gr: sharded.optimize_sharded(gr, mesh, config=cfg)[0].pose
+    )
+    t_plain = timeit(lambda: step_plain(g), reps)
+    t_shard = timeit(lambda: step_shard(g), reps)
+    return t_plain, t_shard
+
+
+def bench_projection(n_nodes=500, bins=360, reps=10):
+    """Occupancy projection rung: full-rebuild raycast of 500 nodes x 360
+    bins into a 256-cell grid (the post-optimization projection the
+    reference runs on a detached thread)."""
+    import jax.numpy as jnp
+
+    from uzliti_slam_tpu.io import synthetic
+    from uzliti_slam_tpu.mapping import occupancy
+
+    g, _ = synthetic.make_pose_graph(
+        jax.random.PRNGKey(0), n_nodes, loop_closure_every=10
+    )
+    key = jax.random.PRNGKey(1)
+    scans = 2.0 + 3.0 * jax.random.uniform(key, (g.node_capacity, bins))
+    sv = g.node_valid
+    cfg = occupancy.GridConfig()
+    grid = occupancy.grid_init(g, cfg)
+    step = jax.jit(
+        lambda gr: occupancy.project(gr, g, scans, sv, cfg, force_full=True).logodds
+    )
+    return timeit(lambda: step(grid), reps)
+
+
+def bench_tum_full(root="/tmp/uzslam_tum_full"):
+    """Full-scale offline dataset rung (BASELINE config #1-2): a 1040-frame
+    640x480 TUM-format sequence (5 corridor laps, ~520 keyframes with
+    genuine revisits) through loader -> native prefetch -> chunked
+    ingestion -> epochs, with ATE vs ground truth AND vs the g2o-equivalent
+    sparse-GN oracle on the same final graph."""
+    from uzliti_slam_tpu import eval as eval_mod
+    from uzliti_slam_tpu.config import SlamConfig
+    from uzliti_slam_tpu.io import simulator
+
+    simulator.export_tum_dataset(root, n_frames=1040)
+    cfg = SlamConfig(node_capacity=1024, edge_capacity=8192)
+    return eval_mod.run_tum_sequence(
+        root, config=cfg, optimize_every=50, chunk=8,
+    )
 
 
 def _make_slam(n_cams, feats, node_capacity=512, edge_capacity=2048):
@@ -250,9 +319,31 @@ def main():
     details["solve_100k_solves_per_sec"] = round(1.0 / t, 3)
     details["solve_100k_chi2"] = round(chi2, 2)
 
-    t = bench_batched_instances(4096, 64, 5, reps=3)
-    details["batched_4096x64n_ms"] = round(1e3 * t, 2)
+    # oracle column for the 100k rung: the g2o-equivalent sparse-GN chi2
+    # on the SAME graph (convergence proof, not just speed)
+    from uzliti_slam_tpu.graph import solver as _solver
+    from uzliti_slam_tpu.graph.oracle import sparse_gn_oracle
+    from uzliti_slam_tpu.io import synthetic as _synthetic
+
+    g100k, _ = _synthetic.make_pose_graph(
+        jax.random.PRNGKey(0), 100_000, loop_closure_every=10
+    )
+    oposes = sparse_gn_oracle(g100k, iters=20, lm=True)
+    ochi = float(_solver.total_chi2(g100k, oposes, 1.0))
+    details["solve_100k_chi2_oracle"] = round(ochi, 2)
+    details["solve_100k_chi2_ratio_vs_oracle"] = round(
+        details["solve_100k_chi2"] / max(ochi, 1e-12), 4
+    )
+
+    # fleet rung: 4096 DISTINCT instances at the full 20-iteration config
+    t = bench_batched_instances(4096, 64, 20, reps=3)
+    details["batched_4096x64n_20it_ms"] = round(1e3 * t, 2)
     details["batched_instance_solves_per_sec"] = round(4096 / t, 0)
+
+    # sharded-solve rung at mesh=1: shard_map/psum overhead per device
+    tp, ts = bench_sharded_overhead(1000, reps=10)
+    details["sharded_1k_mesh1_ms"] = round(1e3 * ts, 2)
+    details["sharded_1k_overhead_pct"] = round(100.0 * (ts / tp - 1.0), 1)
 
     # --- trajectory quality: ATE on a drifting offline sequence ---
     ate_slam, ate_odom = bench_ate()
@@ -272,6 +363,23 @@ def main():
     t = bench_keyframe_pipeline(reps=10, n_cams=2)
     details["keyframe_vga_2cam_ms"] = round(1e3 * t, 2)
     details["keyframe_2cam_hz"] = round(1.0 / t, 2)
+
+    # --- map projection rung (P7): live-grid projection at 500 nodes ---
+    t_proj = bench_projection(n_nodes=500, bins=360, reps=10)
+    details["occupancy_project_500n_ms"] = round(1e3 * t_proj, 2)
+
+    # --- full-scale TUM offline run with oracle parity ---
+    tum = bench_tum_full()
+    details["tum_frames"] = tum["n_frames"]
+    details["tum_keyframes"] = tum["n_keyframes"]
+    details["tum_edges"] = tum["n_edges"]
+    details["ate_tum_slam_m"] = round(tum["ate_slam_m"], 4)
+    details["ate_tum_odometry_m"] = round(tum["ate_odometry_m"], 4)
+    details["ate_tum_oracle_m"] = round(tum["ate_oracle_m"], 4)
+    details["ate_tum_vs_oracle_m"] = round(tum["ate_vs_oracle_m"], 5)
+    details["tum_chi2_ratio_vs_oracle"] = round(tum["chi2_ratio_vs_oracle"], 4)
+    details["tum_frames_per_s_warm"] = round(tum["frames_per_s_warm"], 2)
+    details["tum_wall_s"] = round(tum["wall_s"], 1)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -290,3 +290,18 @@ class TestOracleParityAtScale:
     @pytest.mark.slow
     def test_10k_nodes_default_config_matches_oracle(self):
         self._run(10_000)
+
+    @pytest.mark.slow
+    def test_100k_nodes_default_config_matches_oracle(self):
+        """VERDICT r3 #4 acceptance: 100k-scale convergence within 10% of
+        the sparse-LM oracle (undamped GN diverges at this scale — g2o
+        itself runs LM, so the oracle does too)."""
+        g, _ = synthetic.make_pose_graph(
+            KEY, 100_000, loop_closure_every=10
+        )
+        ref_poses = sparse_gn_oracle(g, iters=20, lm=True)
+        ref_chi2 = float(solver.total_chi2(g, ref_poses, 1.0))
+        g2, stats = solver.optimize(g, solver.SolverConfig())
+        our_chi2 = float(solver.total_chi2(g, g2.pose, 1.0))
+        assert np.isfinite(our_chi2)
+        assert our_chi2 <= ref_chi2 * 1.10 + 1e-3, (our_chi2, ref_chi2)

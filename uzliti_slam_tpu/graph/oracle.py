@@ -18,10 +18,14 @@ from uzliti_slam_tpu.graph import factors, solver
 from uzliti_slam_tpu.ops import lie
 
 
-def sparse_gn_oracle(g, iters: int = 12):
-    """Sparse Gauss-Newton on the robustified normal equations; returns
-    the solved poses (N, 7). Feasible at 10k+ nodes where a dense oracle
-    is not."""
+def sparse_gn_oracle(g, iters: int = 12, lm: bool = False,
+                     lambda_init: float = 1e-4):
+    """Sparse Gauss-Newton (``lm=False``) or Levenberg-Marquardt
+    (``lm=True``, the exact g2o configuration: λ·diag(H) damping with
+    accept/reject) on the robustified normal equations; returns the solved
+    poses (N, 7). Feasible at 10k+ nodes where a dense oracle is not.
+    Plain GN suffices on small graphs; at 100k-node scale undamped GN can
+    diverge — use ``lm=True`` there, as g2o itself would."""
     import jax.numpy as jnp
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -42,6 +46,8 @@ def sparse_gn_oracle(g, iters: int = 12):
     )
     ef = np.asarray(g.e_from)
     et = np.asarray(g.e_to)
+    lam = lambda_init
+    chi2_cur = float(solver.total_chi2(g, poses, 1.0)) if lm else None
 
     for _ in range(iters):
         r, Ji, Jj = res_jac(poses)
@@ -81,6 +87,17 @@ def sparse_gn_oracle(g, iters: int = 12):
 
         Hf = H[free][:, free] + 1e-8 * sp.eye(int(free.sum()), format="csr")
         dx = np.zeros(6 * n)
-        dx[free] = spla.spsolve(Hf.tocsc(), -b[free])
-        poses = lie.pose_retract(poses, jnp.asarray(dx.reshape(-1, 6)))
+        if lm:
+            diag = sp.diags(np.maximum(Hf.diagonal(), 1e-6))
+            dx[free] = spla.spsolve((Hf + lam * diag).tocsc(), -b[free])
+            cand = lie.pose_retract(poses, jnp.asarray(dx.reshape(-1, 6)))
+            chi2_new = float(solver.total_chi2(g, cand, 1.0))
+            if chi2_new < chi2_cur:
+                poses, chi2_cur = cand, chi2_new
+                lam = max(lam / 3.0, 1e-9)
+            else:
+                lam = min(lam * 3.0, 1e2)
+        else:
+            dx[free] = spla.spsolve(Hf.tocsc(), -b[free])
+            poses = lie.pose_retract(poses, jnp.asarray(dx.reshape(-1, 6)))
     return poses

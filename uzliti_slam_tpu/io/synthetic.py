@@ -105,11 +105,11 @@ def make_pose_graph(
             axis=-1,
         )
         lc_meas = lie.pose_compose(lie.pose_relative(gt[lf], gt[lt]), lie.se3_exp(lnoise))
-        # single host transfer (per-element int() would round-trip the
-        # device once per pair — pathological over a remote-TPU tunnel)
-        import numpy as _np
-        e_from += _np.asarray(lf).tolist()
-        e_to += _np.asarray(lt).tolist()
+        # lc_pairs is static python — no device round trip, and the whole
+        # builder stays traceable (vmap over keys => batches of DISTINCT
+        # instances for the fleet benches)
+        e_from += [p[0] for p in lc_pairs]
+        e_to += [p[1] for p in lc_pairs]
         e_T.append(lc_meas)
         e_info.append(jnp.broadcast_to(100.0 * jnp.eye(6), (len(lc_pairs), 6, 6)))
         e_type += [gstate.EDGE_TYPE_3D_FULL] * len(lc_pairs)

@@ -68,3 +68,35 @@ class TestEkf:
         p = ekf.ekf_pose(s)
         np.testing.assert_allclose(np.asarray(lie.pose_t(p)), [1.0, 2.0, 0.0], atol=1e-6)
         np.testing.assert_allclose(float(lie.yaw_of(lie.pose_q(p))), 0.3, atol=1e-6)
+
+
+class TestPipelineFusion:
+    """Odometry fusion is part of the pipeline shell (not serve-only):
+    every ingestion surface — serve, demo, runner, offline eval — can call
+    ``Slam.fuse_odometry`` upstream of the keyframe gate (the reference
+    runs robot_pose_ekf in front of the SLAM node, pose_ekf.launch:4-17)."""
+
+    def test_slam_fuse_odometry_tracks_forward_drive(self):
+        from uzliti_slam_tpu import pipeline
+        from uzliti_slam_tpu.config import SlamConfig
+
+        slam = pipeline.Slam(SlamConfig(
+            node_capacity=16, edge_capacity=64, feats_per_node=32, scan_bins=90,
+        ))
+        pose = lambda x: np.asarray(lie.make_pose(
+            jnp.array([x, 0.0, 0.0], jnp.float32),
+            jnp.array([1.0, 0, 0, 0], jnp.float32),
+        ))
+        fused = [
+            slam.fuse_odometry(pose(0.2 * i), float(i) * 0.5,
+                               np.zeros(3, np.float32))
+            for i in range(6)
+        ]
+        xs = np.array([f[0] for f in fused])
+        assert abs(xs[-1] - 1.0) < 0.25
+        assert np.all(np.diff(xs[1:]) > 0)
+        # the gyro drives yaw through the rate state: nonzero rates turn
+        # the fused heading once the next predict integrates them
+        slam.fuse_odometry(pose(1.2), 3.0, np.full(4, 0.8, np.float32))
+        turned = slam.fuse_odometry(pose(1.4), 3.5, np.full(4, 0.8, np.float32))
+        assert abs(float(lie.yaw_of(lie.pose_q(jnp.asarray(turned))))) > 0.05

@@ -1260,6 +1260,10 @@ class Slam:
         # this is what gates capacity growth (NOT the total keyframe count,
         # which never shrinks when eviction frees slots)
         self._n_slots_host = 0
+        # odometry x IMU EKF (lazy; first fuse_odometry call initializes)
+        self._ekf = None
+        self._ekf_prev_odom = None
+        self._ekf_prev_stamp = None
         # live persistence (reference sync_to_database, slam_graph.cpp:154-174)
         self._db = None
         self._db_num_edges = 0
@@ -1269,6 +1273,43 @@ class Slam:
             self._db = GraphDatabase(config.sync_to_database)
             if self._db.counts()[0] > 0:
                 self._resume_from_db()
+
+    # -- odometry x IMU fusion (reference robot_pose_ekf upstream of the
+    # SLAM node, iti_slam_launch/launch/pose_ekf.launch:4-17) --------------
+
+    def fuse_odometry(self, odom_pose, stamp, imu_yaw_rates=()):
+        """Fuse raw wheel odometry with IMU yaw-rate samples queued since
+        the last frame; returns the fused SE(3) pose (numpy). Available to
+        every ingestion surface (serve, demo, runner, offline eval). EKF
+        math runs on the CPU backend — 5x5 matrices are not worth a
+        remote-TPU dispatch."""
+        import numpy as np
+
+        from uzliti_slam_tpu.frontend import ekf
+        from uzliti_slam_tpu.ops import lie as _lie
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            if self._ekf is None:
+                xy_yaw = _lie.pose_to_pose2(jnp.asarray(odom_pose, jnp.float32))
+                self._ekf = ekf.ekf_init(jnp.concatenate([xy_yaw, jnp.zeros(2)]))
+                self._ekf_prev_odom = np.asarray(odom_pose, np.float32)
+                self._ekf_prev_stamp = float(stamp)
+                return np.asarray(ekf.ekf_pose(self._ekf))
+            dt = max(float(stamp) - self._ekf_prev_stamp, 1e-3)
+            rel = _lie.pose_relative(
+                jnp.asarray(self._ekf_prev_odom, jnp.float32),
+                jnp.asarray(odom_pose, jnp.float32),
+            )
+            body_delta = _lie.pose_to_pose2(rel)
+            s = ekf.ekf_predict(self._ekf, jnp.asarray(dt, jnp.float32))
+            s = ekf.ekf_update_odom(s, body_delta, jnp.asarray(dt, jnp.float32))
+            for wz in np.atleast_1d(np.asarray(imu_yaw_rates, np.float32)):
+                s = ekf.ekf_update_imu_yaw_rate(s, jnp.asarray(wz))
+            self._ekf = s
+            self._ekf_prev_odom = np.asarray(odom_pose, np.float32)
+            self._ekf_prev_stamp = float(stamp)
+            return np.asarray(ekf.ekf_pose(s))
 
     # -- live persistence (reference sync_to_database + loadGraph) ---------
 

@@ -52,44 +52,11 @@ class SlamService:
         # (iti_slam_launch/launch/pose_ekf.launch:4-17). Auto-enables when
         # a frame carries IMU samples.
         self.use_ekf = use_ekf
-        self._ekf = None
-        self._prev_raw_odom = None
-        self._prev_stamp = None
 
     def _fuse_odometry(self, odom_pose, stamp, imu_yaw_rates):
-        """Fuse raw wheel odometry with queued IMU yaw-rate samples; returns
-        the fused SE(3) pose (numpy). EKF math runs on the CPU backend —
-        5x5 matrices are not worth a remote-TPU dispatch."""
-        import jax
-        import jax.numpy as jnp
-
-        from uzliti_slam_tpu.frontend import ekf
-        from uzliti_slam_tpu.ops import lie
-
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            if self._ekf is None:
-                xy_yaw = lie.pose_to_pose2(jnp.asarray(odom_pose, jnp.float32))
-                self._ekf = ekf.ekf_init(
-                    jnp.concatenate([xy_yaw, jnp.zeros(2)])
-                )
-                self._prev_raw_odom = np.asarray(odom_pose, np.float32)
-                self._prev_stamp = float(stamp)
-                return np.asarray(ekf.ekf_pose(self._ekf))
-            dt = max(float(stamp) - self._prev_stamp, 1e-3)
-            rel = lie.pose_relative(
-                jnp.asarray(self._prev_raw_odom, jnp.float32),
-                jnp.asarray(odom_pose, jnp.float32),
-            )
-            body_delta = lie.pose_to_pose2(rel)
-            s = ekf.ekf_predict(self._ekf, jnp.asarray(dt, jnp.float32))
-            s = ekf.ekf_update_odom(s, body_delta, jnp.asarray(dt, jnp.float32))
-            for wz in np.atleast_1d(np.asarray(imu_yaw_rates, np.float32)):
-                s = ekf.ekf_update_imu_yaw_rate(s, jnp.asarray(wz))
-            self._ekf = s
-            self._prev_raw_odom = np.asarray(odom_pose, np.float32)
-            self._prev_stamp = float(stamp)
-            return np.asarray(ekf.ekf_pose(s))
+        """Delegates to ``pipeline.Slam.fuse_odometry`` — the EKF is part of
+        the pipeline shell so demo/runner/offline-eval paths can fuse too."""
+        return self.slam.fuse_odometry(odom_pose, stamp, imu_yaw_rates)
 
     def add_frame(self, image, depth, odom_pose, stamp, imu_yaw_rates=None):
         import jax

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uzliti_slam_tpu.graph import calibration
 from uzliti_slam_tpu.graph import state as gstate
@@ -95,6 +96,7 @@ class TestOdometryCalibration:
             float(jnp.linalg.norm(lie.pose_t(out))), 2.0, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_recovers_odom_params(self):
         """Odometry measurements corrupted with a known drift model; the
         solver must recover the inverse warp."""

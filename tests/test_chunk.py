@@ -69,6 +69,7 @@ def test_chunk_matches_per_frame(frames):
     assert np.array_equal(np.asarray(g1.e_type), np.asarray(g2.e_type))
 
 
+@pytest.mark.slow
 def test_chunk_gate_skips_static_frames(frames):
     world, frs = frames
     # repeat the SAME frame: after the first insertion nothing moves, so the
@@ -89,6 +90,7 @@ def test_chunk_gate_skips_static_frames(frames):
     assert s._n_kf_host == 1
 
 
+@pytest.mark.slow
 def test_chunk_auto_grows(frames):
     world, frs = frames
     imgs = np.stack([f["image"] for f in frs])

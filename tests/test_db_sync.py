@@ -34,6 +34,7 @@ def make_cfg(tmp_path, **kw):
 
 
 class TestKillAndResume:
+    @pytest.mark.slow
     def test_trajectory_survives_restart(self, tmp_path):
         cfg = make_cfg(tmp_path)
         world = simulator.WallWorld(img_h=96, img_w=128)

@@ -57,7 +57,7 @@ class TestOdometryRestart:
         g = g._replace(node_fixed=g.node_fixed.at[0].set(True))
         p0 = np.asarray(g.pose[0])
         g2, _ = solver.optimize(
-            g, solver.SolverConfig(iterations=8, odometry_restart=True)
+            g, solver.SolverConfig(iterations=10, odometry_restart=True)
         )
         np.testing.assert_allclose(np.asarray(g2.pose[0]), p0, atol=1e-6)
 

@@ -158,12 +158,15 @@ class TestLaserEdgeRouting:
         from uzliti_slam_tpu import pipeline
         from uzliti_slam_tpu.config import SlamConfig
 
-        cfg = SlamConfig(node_capacity=128, edge_capacity=512)
+        # capacities/shape params match test_pipeline's standard config so
+        # the compiled optimize_epoch program is shared across modules
+        cfg = SlamConfig(node_capacity=64, edge_capacity=256,
+                         feats_per_node=96, scan_bins=180)
         # radius 2 -> ~0.43 m keyframe spacing, the regime the reference's
         # heuristic constants assume (0.3 m keyframes, GraphSlam.cfg:9)
         g, gt = synthetic.make_pose_graph(
             KEY, 60, odom_noise=0.01, rot_noise=0.002, loop_closure_every=1,
-            node_capacity=128, edge_capacity=512, radius=2.0,
+            node_capacity=64, edge_capacity=256, radius=2.0,
         )
         # consecutive laser edges, mirroring the keyframe path: correct
         # relative transform, enter INVALID (until the filter validates)

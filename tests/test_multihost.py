@@ -26,9 +26,10 @@ class TestMultihost:
         mesh = multihost.pod_mesh(edge_axis=2)
         assert mesh.shape == {"batch": 4, "edge": 2}
 
+    @pytest.mark.slow
     def test_fleet_uses_all_devices(self):
         keys = jax.random.split(jax.random.PRNGKey(1), 8)
-        graphs = [synthetic.make_pose_graph(k, 16, loop_closure_every=8)[0] for k in keys]
+        graphs = [synthetic.make_pose_graph(k, 24, loop_closure_every=8)[0] for k in keys]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
         mesh = multihost.pod_mesh(batch_axis=2, edge_axis=4)
         out = multihost.solve_fleet(batched, mesh, solver.SolverConfig(iterations=2))

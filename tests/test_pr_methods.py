@@ -64,6 +64,7 @@ def test_feature_set_method_proposes_closures(world_frames):
     assert _proposed(infos) >= 3
 
 
+@pytest.mark.slow
 def test_repository_method_proposes_closures(world_frames):
     world, frames = world_frames
     cfg = _cfg("repository", repo_min_votes=5, repo_desc_per_node=48)
@@ -72,6 +73,7 @@ def test_repository_method_proposes_closures(world_frames):
     assert int(slam.state.repo.num_desc) > 0
 
 
+@pytest.mark.slow
 def test_bow_method_proposes_closures(world_frames):
     world, frames = world_frames
     # train a vocabulary on descriptors from a few frames (the offline

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uzliti_slam_tpu import pipeline
 from uzliti_slam_tpu.config import EdgeEstimationConfig, KeyframeConfig, SlamConfig
@@ -51,6 +52,7 @@ class TestSparseClusterRansac:
 
 
 class TestFilterDeadEndpoints:
+    @pytest.mark.slow
     def test_edge_to_invalid_node_never_validated(self):
         g, _ = synthetic.make_pose_graph(KEY, 60, loop_closure_every=1,
                                          edge_capacity=256)
@@ -67,6 +69,7 @@ class TestFilterDeadEndpoints:
 
 
 class TestCandidateDedup:
+    @pytest.mark.slow
     def test_invalid_padding_does_not_shadow(self):
         """An earlier INVALID duplicate slot must not suppress a later valid
         candidate (the top_k -inf padding pattern)."""
@@ -117,6 +120,7 @@ class TestAutoGrowth:
 
 
 class TestReregistrationDedup:
+    @pytest.mark.slow
     def test_repeated_calls_do_not_duplicate(self):
         cfg = SlamConfig(
             node_capacity=32, edge_capacity=128, feats_per_node=64, scan_bins=180,
@@ -188,6 +192,7 @@ class TestTridiagPaddingBug:
 
 
 class TestDetectExactK:
+    @pytest.mark.slow
     def test_k_contract_any_levels(self):
         from uzliti_slam_tpu.ops import features
         img = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (128, 160)).astype(np.float32))

@@ -42,6 +42,7 @@ def duo_run():
     return duo, frames, evicted, proposed
 
 
+@pytest.mark.slow
 class TestLocalGlobal:
     def test_all_keyframes_reach_global(self, duo_run):
         duo, frames, *_ = duo_run

@@ -52,6 +52,7 @@ class TestStorage:
             with pytest.raises(ValueError, match="shape mismatch"):
                 storage.load_state(d, g_big)
 
+    @pytest.mark.slow
     def test_resume_continues_solving(self):
         from uzliti_slam_tpu.graph import solver
         g, _ = synthetic.make_pose_graph(KEY, 30, loop_closure_every=5)

@@ -18,6 +18,7 @@ HyperDijkstra on the host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import NamedTuple
 
@@ -490,7 +491,17 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
 def optimize(g: GraphState, config: SolverConfig = SolverConfig()) -> tuple[GraphState, SolveStats]:
     """Run LM on the pose graph; returns updated graph + stats.
 
-    Write-back semantics follow the reference ``storeImpl``
+    Dispatches through a jit cache keyed on (array shapes, config): repeat
+    solves — the common case for a live pipeline and for the test suite —
+    skip re-tracing entirely.  Inside an enclosing jit/vmap/shard_map the
+    nested jit is inlined, so transformed callers are unaffected.
+    """
+    return _optimize_jit(g, config)
+
+
+@functools.partial(jax.jit, static_argnames="config")
+def _optimize_jit(g: GraphState, config: SolverConfig) -> tuple[GraphState, SolveStats]:
+    """Write-back semantics follow the reference ``storeImpl``
     (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
     recomputed, edge ages incremented.
     """

@@ -25,6 +25,22 @@ def circle_trajectory(n: int, radius: float = 10.0, loops: float = 2.0) -> jax.A
     return lie.pose2_to_pose(jnp.stack([x, y, yaw], axis=-1))
 
 
+# Default capacity policy for generated graphs. "exact" sizes the padded
+# tables to the request; "pow2" rounds capacities up to the next power of
+# two (min 32).  The test suite switches to "pow2" so the dozens of small
+# synthetic graphs collapse onto a handful of array shapes — every XLA
+# program and every jax trace is keyed on shapes, so shape dedupe is what
+# makes the suite's compile/trace cost O(distinct tiers) instead of
+# O(distinct test sizes).  Benchmarks keep "exact" shapes.
+capacity_rounding = "exact"
+
+
+def _round_capacity(n: int) -> int:
+    if capacity_rounding != "pow2":
+        return n
+    return max(32, 1 << (n - 1).bit_length())
+
+
 def make_pose_graph(
     key: jax.Array,
     n_nodes: int,
@@ -65,14 +81,14 @@ def make_pose_graph(
     _, integrated = jax.lax.scan(step, gt[0], odom_meas)
     init_poses = jnp.concatenate([gt[0:1], integrated], axis=0)
 
-    ncap = node_capacity or n_nodes
+    ncap = node_capacity or _round_capacity(n_nodes)
     # loop closures between i and i + n/loops revisit offset
     lc_pairs = []
     if loop_closure_every:
         period = int(n_nodes / max(loops, 1.0))
         for i in range(0, n_nodes - period, loop_closure_every):
             lc_pairs.append((i, i + period))
-    ecap = edge_capacity or (n_nodes - 1 + len(lc_pairs))
+    ecap = edge_capacity or _round_capacity(n_nodes - 1 + len(lc_pairs))
 
     g = gstate.empty_graph(ncap, ecap)
     idx = jnp.arange(n_nodes, dtype=jnp.int32)

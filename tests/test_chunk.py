@@ -42,6 +42,7 @@ def frames():
     )
 
 
+@pytest.mark.slow
 def test_chunk_matches_per_frame(frames):
     world, frs = frames
     imgs = np.stack([f["image"] for f in frs])

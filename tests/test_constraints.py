@@ -5,6 +5,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uzliti_slam_tpu.graph import solver
 from uzliti_slam_tpu.graph import state as gstate
@@ -126,6 +127,7 @@ class TestGps:
         assert ate_after < 0.5 * ate_before
         assert ate_after < 0.25
 
+    @pytest.mark.slow
     def test_slam_add_gps_end_to_end(self):
         from uzliti_slam_tpu import pipeline
         from uzliti_slam_tpu.config import KeyframeConfig, SlamConfig

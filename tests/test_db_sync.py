@@ -24,10 +24,12 @@ from uzliti_slam_tpu.io import simulator, synthetic
 
 
 def make_cfg(tmp_path, **kw):
+    # shape/config quadruple matches test_pipeline's standard so compiled
+    # pipeline programs dedupe through the shared persistent cache
     return SlamConfig(
-        node_capacity=64, edge_capacity=256, feats_per_node=64, scan_bins=90,
+        node_capacity=64, edge_capacity=256, feats_per_node=96, scan_bins=180,
         keyframe=KeyframeConfig(new_node_distance=0.25),
-        estimation=EdgeEstimationConfig(min_consensus=8, min_matching_score=6.0),
+        estimation=EdgeEstimationConfig(min_consensus=10, min_matching_score=8.0),
         sync_to_database=os.path.join(str(tmp_path), "graph.db"),
         **kw,
     )

@@ -51,6 +51,7 @@ def run_method(method: str, **est_kw):
 
 
 class TestEstimationMethods:
+    @pytest.mark.slow
     def test_pnp_method(self):
         slam, ate, ate_odo, n_lc, n_val = run_method("pnp")
         assert n_lc >= 3, "pnp proposed no closures"

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uzliti_slam_tpu.frontend import camera
 from uzliti_slam_tpu.frontend import camera as cam_mod
@@ -405,6 +406,7 @@ class TestDistortion:
 
 
 class TestCaptureDisplacement:
+    @pytest.mark.slow
     def test_cam_disp_shifts_points(self):
         """Per-camera capture displacement moves the 3-D lift by the base
         motion during staggered capture

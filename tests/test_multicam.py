@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uzliti_slam_tpu import pipeline
 from uzliti_slam_tpu.config import EdgeEstimationConfig, KeyframeConfig, SlamConfig
@@ -20,6 +21,7 @@ def two_cam_rig():
 
 
 class TestMultiCam:
+    @pytest.mark.slow
     def test_two_camera_keyframes(self):
         cfg = SlamConfig(
             node_capacity=32, edge_capacity=128, feats_per_node=64, scan_bins=180,
@@ -57,6 +59,7 @@ class TestMultiCam:
             dep3 = jnp.stack([fr["depth"]] * 3)
             slam.add_frame(img3, dep3, fr["odom_pose"], fr["stamp"])
 
+    @pytest.mark.slow
     def test_single_cam_unchanged(self):
         """C=1 path must behave exactly as the unbatched input."""
         cfg = SlamConfig(

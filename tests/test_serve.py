@@ -16,10 +16,13 @@ from uzliti_slam_tpu.io import simulator
 
 @pytest.fixture(scope="module")
 def server():
+    # shape/config quadruple matches test_pipeline's standard so the
+    # compiled keyframe/epoch programs come from the shared persistent
+    # cache (the keyframe distance gate is host-side and stays at 0.2)
     cfg = SlamConfig(
-        node_capacity=32, edge_capacity=128, feats_per_node=64, scan_bins=90,
+        node_capacity=64, edge_capacity=256, feats_per_node=96, scan_bins=180,
         keyframe=KeyframeConfig(new_node_distance=0.2),
-        estimation=EdgeEstimationConfig(min_consensus=8, min_matching_score=6.0),
+        estimation=EdgeEstimationConfig(min_consensus=10, min_matching_score=8.0),
     )
     world = simulator.WallWorld(img_h=96, img_w=128)
     svc = serve.SlamService(cfg, cam=world.cam, cam_pose=simulator.cam_extrinsic())

@@ -30,6 +30,7 @@ def run_tum_sequence(
     stride: int = 1,
     oracle: bool = True,
     progress: bool = False,
+    final_epochs: int = 4,
 ) -> dict:
     """Drive a TUM directory end-to-end; returns the metrics dict."""
     import jax
@@ -106,7 +107,12 @@ def run_tum_sequence(
                     f"({time.perf_counter() - t0:.0f}s)"
                 )
     flush(buf)
-    stats = slam.optimize()
+    # Final polish: the reference keeps re-optimizing on a timer after
+    # playback ends (optimizationTimerCallback at optimize_graph_freq); a
+    # few extra epochs on the complete graph are the offline equivalent
+    # and let late loop closures fully propagate down the chain.
+    for _ in range(max(1, final_epochs)):
+        stats = slam.optimize()
     jax.block_until_ready(slam.state.graph.pose)
     wall = time.perf_counter() - t0
     wall_warm = time.perf_counter() - (t_first or t0)

@@ -61,6 +61,11 @@ class SolverConfig:
                                   # iteration is a large win there. Pick a
                                   # divisor of `iterations` (trailing
                                   # partial chunks run masked no-op steps).
+    restart_chi2_margin: float = 0.2  # odometry_restart trigger: the
+                                  # second (odometry-start) solve runs
+                                  # unless the refined-start solve ended
+                                  # below margin * chi2(odometry prior).
+                                  # 0 = never restart, inf = always.
     odometry_restart: bool = False  # ALSO solve from the odometry-prior
                                   # trajectory (diff ∘ odom_pose per node)
                                   # and keep the lower-chi2 result. Pose
@@ -69,10 +74,10 @@ class SolverConfig:
                                   # solves started from it stay stuck (LM
                                   # rejects every step) even when the
                                   # odometry manifold leads to a better
-                                  # minimum. The second start runs BATCHED
-                                  # with the first (vmap over starts) — the
-                                  # TPU-native multi-start. Off by default
-                                  # (2x solve cost); the live pipeline
+                                  # minimum. The second start runs under a
+                                  # lax.cond gated by restart_chi2_margin,
+                                  # so a well-converged epoch pays ~1x.
+                                  # Off by default; the live pipeline
                                   # enables it.
     split_hv_threshold: int = 4096  # node capacity at which the dense/
                                   # sparse split Hv replaces the full-
@@ -524,15 +529,37 @@ def _optimize_jit(g: GraphState, config: SolverConfig) -> tuple[GraphState, Solv
             odo_start = lie.pose2_to_pose(lie.pose_to_pose2(odo_start))
         movable = g.node_valid & ~g.node_fixed
         odo_start = jnp.where(movable[:, None], odo_start, g.pose)
-        starts = jnp.stack([g.pose, odo_start])
 
-        def run(p0):
-            return lm_loop(g._replace(pose=p0), free, config)
+        # Solve from the refined (current) state first; launch the second
+        # solve from the odometry prior ONLY when the first did not land
+        # clearly below the prior's chi2 (lax.cond skips the work at run
+        # time).  A converged steady-state epoch — the common case — ends
+        # orders of magnitude below the raw prior and pays ~1x; the bad
+        # cases the multi-start exists for (near-perfect odometry whose
+        # prior chi2 is LOW, a poor basin whose final chi2 is HIGH) always
+        # trip the margin and keep the rescue armed.
+        poses_a, lam_a, hist_a, acc_a = lm_loop(g, free, config)
+        chi2_prior = total_chi2(g, odo_start, config.huber_delta)
+        need = hist_a[-1] > config.restart_chi2_margin * chi2_prior
 
-        poses_s, lam_s, hist_s, acc_s = jax.vmap(run)(starts)
-        best = jnp.argmin(hist_s[:, -1])
-        poses, lam = poses_s[best], lam_s[best]
-        chi2_hist, accepted = hist_s[best], acc_s[best]
+        def with_restart(_):
+            poses_b, lam_b, hist_b, acc_b = lm_loop(
+                g._replace(pose=odo_start), free, config
+            )
+            b_wins = hist_b[-1] < hist_a[-1]
+            return (
+                jnp.where(b_wins, poses_b, poses_a),
+                jnp.where(b_wins, lam_b, lam_a),
+                jnp.where(b_wins, hist_b, hist_a),
+                jnp.where(b_wins, acc_b, acc_a),
+            )
+
+        def without(_):
+            return poses_a, lam_a, hist_a, acc_a
+
+        poses, lam, chi2_hist, accepted = jax.lax.cond(
+            need, with_restart, without, None
+        )
     else:
         poses, lam, chi2_hist, accepted = lm_loop(g, free, config)
 

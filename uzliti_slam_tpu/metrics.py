@@ -33,12 +33,17 @@ class Metrics:
     def stage(self, name: str):
         """Host wall-clock span. NOTE: does not synchronize devices — for
         async-dispatched jax work, block inside the span (e.g.
-        ``jax.block_until_ready``) if device time should be attributed."""
+        ``jax.block_until_ready``) if device time should be attributed.
+
+        The span is also emitted as a ``jax.profiler.TraceAnnotation`` so
+        that when a ``device_trace`` is active the stage taxonomy shows up
+        on the TensorBoard timeline alongside the XLA ops it dispatched."""
         t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.timings[name].append(time.perf_counter() - t0)
+        with jax.profiler.TraceAnnotation(name):
+            try:
+                yield
+            finally:
+                self.timings[name].append(time.perf_counter() - t0)
 
     def count(self, name: str, n: int = 1):
         self.counters[name] += n

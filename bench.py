@@ -28,14 +28,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 WARMUP = 2
 
 
-def timeit(fn, reps):
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn())
+def timeit_distinct(step, inputs):
+    """Time ``step`` over DISTINCT pre-built inputs; block once at the end.
+
+    Two honesty rules learned on this backend:
+    - repeating one dispatch with identical buffers can be served from
+      backend-side caches (measured: a 4096-instance solve "ran" in
+      80 us), so every rep gets its own input;
+    - blocking every rep adds a ~20 ms host<->device sync round-trip per
+      call on the tunneled dev setup — an artifact a local host would not
+      pay — so reps are pipelined and only the LAST result is awaited
+      (device programs serialize per core, so all reps have completed).
+    The first WARMUP inputs are burned on compile/warm-up.
+    """
+    for x in inputs[:WARMUP]:
+        jax.block_until_ready(step(x))
+    rest = inputs[WARMUP:]
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
+    out = None
+    for x in rest:
+        out = step(x)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / len(rest)
 
 
 def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="chain",
@@ -43,16 +57,19 @@ def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="chain",
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
-    g, _ = synthetic.make_pose_graph(
-        jax.random.PRNGKey(0), n_nodes, loop_closure_every=loop_closure_every
-    )
+    graphs = [
+        synthetic.make_pose_graph(
+            jax.random.PRNGKey(i), n_nodes, loop_closure_every=loop_closure_every
+        )[0]
+        for i in range(WARMUP + reps)
+    ]
     cfg = solver.SolverConfig(
         iterations=lm_iters, pcg_iterations=pcg_iters,
         preconditioner=preconditioner,
     )
     step = jax.jit(lambda gr: solver.optimize(gr, cfg))
-    t = timeit(lambda: step(g)[0].pose, reps)
-    out, stats = step(g)
+    t = timeit_distinct(lambda gr: step(gr)[0].pose, graphs)
+    out, stats = step(graphs[0])
     return t, float(jax.device_get(stats.chi2_history[-1]))
 
 
@@ -63,15 +80,20 @@ def bench_batched_instances(batch, n_nodes, lm_iters, reps):
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
     make = jax.jit(jax.vmap(
         lambda k: synthetic.make_pose_graph(k, n_nodes, loop_closure_every=8)[0]
     ))
-    batched = make(keys)
-    jax.block_until_ready(batched.pose)
-    cfg = solver.SolverConfig(iterations=lm_iters, pcg_iterations=16)
+    batches = []
+    for s in range(WARMUP + reps):
+        keys = jax.random.split(jax.random.PRNGKey(s), batch)
+        batches.append(jax.block_until_ready(make(keys)))
+    # chain_dense_cutoff=1: full cyclic reduction (pure batched 6x6 math);
+    # the dense-root LU would serialize per vmapped instance on TPU
+    cfg = solver.SolverConfig(
+        iterations=lm_iters, pcg_iterations=16, chain_dense_cutoff=1
+    )
     step = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[0].pose))
-    return timeit(lambda: step(batched), reps)
+    return timeit_distinct(step, batches)
 
 
 def bench_sharded_overhead(n_nodes, reps):
@@ -84,16 +106,23 @@ def bench_sharded_overhead(n_nodes, reps):
     from uzliti_slam_tpu.io import synthetic
     from uzliti_slam_tpu.parallel import sharded
 
-    g, _ = synthetic.make_pose_graph(jax.random.PRNGKey(0), n_nodes, loop_closure_every=10)
+    graphs = [
+        sharded.pad_edges_to_multiple(
+            synthetic.make_pose_graph(
+                jax.random.PRNGKey(i), n_nodes, loop_closure_every=10
+            )[0],
+            1,
+        )
+        for i in range(WARMUP + reps)
+    ]
     mesh = Mesh(np.array(jax.devices()[:1]), ("edge",))
-    g = sharded.pad_edges_to_multiple(g, 1)
     cfg = solver.SolverConfig()
     step_plain = jax.jit(lambda gr: solver.optimize(gr, cfg)[0].pose)
     step_shard = jax.jit(
         lambda gr: sharded.optimize_sharded(gr, mesh, config=cfg)[0].pose
     )
-    t_plain = timeit(lambda: step_plain(g), reps)
-    t_shard = timeit(lambda: step_shard(g), reps)
+    t_plain = timeit_distinct(step_plain, graphs)
+    t_shard = timeit_distinct(step_shard, graphs)
     return t_plain, t_shard
 
 
@@ -109,15 +138,19 @@ def bench_projection(n_nodes=500, bins=360, reps=10):
     g, _ = synthetic.make_pose_graph(
         jax.random.PRNGKey(0), n_nodes, loop_closure_every=10
     )
-    key = jax.random.PRNGKey(1)
-    scans = 2.0 + 3.0 * jax.random.uniform(key, (g.node_capacity, bins))
+    all_scans = [
+        2.0 + 3.0 * jax.random.uniform(
+            jax.random.PRNGKey(1 + i), (g.node_capacity, bins)
+        )
+        for i in range(WARMUP + reps)
+    ]
     sv = g.node_valid
     cfg = occupancy.GridConfig()
     grid = occupancy.grid_init(g, cfg)
     step = jax.jit(
-        lambda gr: occupancy.project(gr, g, scans, sv, cfg, force_full=True).logodds
+        lambda sc: occupancy.project(grid, g, sc, sv, cfg, force_full=True).logodds
     )
-    return timeit(lambda: step(grid), reps)
+    return timeit_distinct(step, all_scans)
 
 
 def bench_tum_full(root="/tmp/uzslam_tum_full"):
@@ -250,14 +283,6 @@ def bench_epoch_500_rgbd_laser(reps=5):
     n = 500
     cfg = SlamConfig(node_capacity=512, edge_capacity=4096, feats_per_node=64,
                      scan_bins=90)
-    g, gt = synthetic.make_pose_graph(
-        jax.random.PRNGKey(1), n, loop_closure_every=5,
-        node_capacity=512, edge_capacity=4096, radius=2.0,
-    )
-    # add consecutive laser edges (invalid-until-validated, as the pipeline
-    # inserts them)
-    rel = lie.pose_relative(g.pose[: n - 1], g.pose[1:n])
-    info = 50.0 * jnp.broadcast_to(jnp.eye(6), (n - 1, 6, 6))
 
     def add_laser(gg, xs):
         i, r, w = xs
@@ -266,29 +291,32 @@ def bench_epoch_500_rgbd_laser(reps=5):
         )
         return gg, None
 
-    g, _ = jax.jit(lambda gg: jax.lax.scan(
+    add_lasers = jax.jit(lambda gg, rel, info: jax.lax.scan(
         add_laser, gg,
         (jnp.arange(n - 1, dtype=jnp.int32), rel, info),
-    ))(g)
-    state = pipeline.init_state(cfg)._replace(
-        graph=g, last_kf_slot=jnp.asarray(n - 1, jnp.int32)
-    )
+    )[0])
+
+    # distinct graph per rep (identical repeated inputs can be served from
+    # backend caches); each gets its own noise realization
+    states = []
+    info = 50.0 * jnp.broadcast_to(jnp.eye(6), (n - 1, 6, 6))
+    for i in range(reps + WARMUP):
+        g, gt = synthetic.make_pose_graph(
+            jax.random.PRNGKey(1 + i), n, loop_closure_every=5,
+            node_capacity=512, edge_capacity=4096, radius=2.0,
+        )
+        rel = lie.pose_relative(g.pose[: n - 1], g.pose[1:n])
+        g = add_lasers(g, rel, info)
+        states.append(pipeline.init_state(cfg)._replace(
+            graph=g, last_kf_slot=jnp.asarray(n - 1, jnp.int32)
+        ))
 
     def epoch(st):
         st2, stats = pipeline.optimize_epoch(st, cfg)
         return st2.graph.pose
 
-    # optimize_epoch donates its input; rebuild the state each reseed via
-    # closure over the ORIGINAL arrays (copied on trace)
     compiled = jax.jit(lambda st: epoch(st))
-    states = [state._replace(graph=g) for _ in range(reps + WARMUP)]
-    jax.block_until_ready(compiled(states[0]))
-    jax.block_until_ready(compiled(states[1]))
-    t0 = time.perf_counter()
-    for st in states[WARMUP:]:
-        out = compiled(st)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return timeit_distinct(compiled, states)
 
 
 def main():

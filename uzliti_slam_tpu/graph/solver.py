@@ -61,6 +61,14 @@ class SolverConfig:
                                   # iteration is a large win there. Pick a
                                   # divisor of `iterations` (trailing
                                   # partial chunks run masked no-op steps).
+    chain_dense_cutoff: int = 64  # cyclic reduction stops at this many
+                                  # surviving blocks and inverts the root
+                                  # densely (fewer latency-bound levels —
+                                  # right for ONE large graph). Batched
+                                  # fleets set 1: the dense root's LU is
+                                  # serialized per vmapped instance on
+                                  # TPU, while full reduction is pure
+                                  # batched 6x6 arithmetic.
     restart_chi2_margin: float = 0.2  # odometry_restart trigger: the
                                   # second (odometry-start) solve runs
                                   # unless the refined-start solve ended
@@ -410,7 +418,9 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             Hblocks + jax.vmap(jnp.diag)(damp),
             eye,
         )
-        return tridiag.block_tridiag_factor(Dm, U)
+        return tridiag.block_tridiag_factor(
+            Dm, U, dense_cutoff=config.chain_dense_cutoff
+        )
 
     def make_lm_step(chain_factor):
         def lm_step(carry, step_idx):

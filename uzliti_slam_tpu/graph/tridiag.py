@@ -94,6 +94,11 @@ def _dense_root_inverse(Dk: jax.Array, Uk: jax.Array) -> jax.Array:
     shapes) replaces all of them with a single matvec per apply.
     """
     m = Dk.shape[0]
+    if m == 1:
+        # single surviving block: closed-form 6x6 inverse (keeps the fully
+        # batched dense_cutoff=1 path free of LU custom calls, which TPU
+        # serializes per vmapped instance)
+        return _inv6(Dk[0])
     A = jnp.zeros((m, 6, m, 6), Dk.dtype)
     idx = jnp.arange(m)
     A = A.at[idx, :, idx, :].set(Dk)

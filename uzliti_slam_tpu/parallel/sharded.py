@@ -18,6 +18,7 @@ local/global SLAM nodes, ``slam.launch:1-22``) with mesh parallelism:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -128,5 +129,9 @@ def optimize_batch(
         lambda _: NamedSharding(mesh, P(axis_name)), graphs
     )
     graphs = jax.device_put(graphs, batch_sharding)
+    # Full cyclic reduction for the chain preconditioner: the dense-root
+    # LU inverse is serialized per vmapped instance on TPU, while the
+    # cutoff=1 path is pure batched 6x6 arithmetic across the whole fleet.
+    config = dataclasses.replace(config, chain_dense_cutoff=1)
     solve_one = lambda gr: solver.optimize(gr, config)[0]
     return jax.jit(jax.vmap(solve_one))(graphs)

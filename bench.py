@@ -337,6 +337,35 @@ def main():
     details["solve_1k_jacobi_20x32_ms"] = round(1e3 * t, 2)
     details["solve_1k_jacobi_chi2"] = round(chi2, 2)
 
+    # --- latency-sensitive live rungs run EARLY: the scale rungs below
+    # leave hundreds of MB of device/host allocations behind, and a long
+    # single process measurably inflates small-kernel timings (~1.4x was
+    # observed on the keyframe rung when it ran after the fleet rung) ---
+
+    # keyframe path: single- and multi-camera VGA
+    t = bench_keyframe_pipeline(reps=10, n_cams=1)
+    details["keyframe_vga_ms"] = round(1e3 * t, 2)
+    details["keyframe_hz"] = round(1.0 / t, 2)
+
+    t = bench_keyframe_pipeline(reps=10, n_cams=2)
+    details["keyframe_vga_2cam_ms"] = round(1e3 * t, 2)
+    details["keyframe_2cam_hz"] = round(1.0 / t, 2)
+
+    # epoch rung: 500-node RGBD+laser (filter + solve as one dispatch)
+    t = bench_epoch_500_rgbd_laser(reps=5)
+    details["epoch_500_rgbd_laser_ms"] = round(1e3 * t, 2)
+    details["epoch_500_rgbd_laser_hz"] = round(1.0 / t, 2)
+
+    # map projection rung (P7): live-grid projection at 500 nodes
+    t_proj = bench_projection(n_nodes=500, bins=360, reps=10)
+    details["occupancy_project_500n_ms"] = round(1e3 * t_proj, 2)
+
+    # trajectory quality: ATE on a drifting offline sequence
+    ate_slam, ate_odom = bench_ate()
+    details["ate_slam_m"] = round(ate_slam, 4)
+    details["ate_odometry_m"] = round(ate_odom, 4)
+
+    # --- scale rungs ---
     t, chi2 = bench_solver(10_000, 20, 12, reps=5)
     details["solve_10k_20it_ms"] = round(1e3 * t, 2)
     details["solve_10k_solves_per_sec"] = round(1.0 / t, 3)
@@ -372,29 +401,6 @@ def main():
     tp, ts = bench_sharded_overhead(1000, reps=10)
     details["sharded_1k_mesh1_ms"] = round(1e3 * ts, 2)
     details["sharded_1k_overhead_pct"] = round(100.0 * (ts / tp - 1.0), 1)
-
-    # --- trajectory quality: ATE on a drifting offline sequence ---
-    ate_slam, ate_odom = bench_ate()
-    details["ate_slam_m"] = round(ate_slam, 4)
-    details["ate_odometry_m"] = round(ate_odom, 4)
-
-    # --- epoch rung: 500-node RGBD+laser (filter + solve as one dispatch) ---
-    t = bench_epoch_500_rgbd_laser(reps=5)
-    details["epoch_500_rgbd_laser_ms"] = round(1e3 * t, 2)
-    details["epoch_500_rgbd_laser_hz"] = round(1.0 / t, 2)
-
-    # --- keyframe path: single- and multi-camera VGA ---
-    t = bench_keyframe_pipeline(reps=10, n_cams=1)
-    details["keyframe_vga_ms"] = round(1e3 * t, 2)
-    details["keyframe_hz"] = round(1.0 / t, 2)
-
-    t = bench_keyframe_pipeline(reps=10, n_cams=2)
-    details["keyframe_vga_2cam_ms"] = round(1e3 * t, 2)
-    details["keyframe_2cam_hz"] = round(1.0 / t, 2)
-
-    # --- map projection rung (P7): live-grid projection at 500 nodes ---
-    t_proj = bench_projection(n_nodes=500, bins=360, reps=10)
-    details["occupancy_project_500n_ms"] = round(1e3 * t_proj, 2)
 
     # --- full-scale TUM offline run with oracle parity ---
     tum = bench_tum_full()

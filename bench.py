@@ -29,31 +29,49 @@ WARMUP = 2
 
 
 def timeit_distinct(step, inputs):
-    """Time ``step`` over DISTINCT pre-built inputs; block once at the end.
+    """Time ``step`` over DISTINCT pre-built inputs; force execution with
+    ONE host fetch of a scalar that data-depends on EVERY rep's output.
 
-    Two honesty rules learned on this backend:
+    Honesty rules learned on this backend (r3-r5):
     - repeating one dispatch with identical buffers can be served from
-      backend-side caches (measured: a 4096-instance solve "ran" in
-      80 us), so every rep gets its own input;
-    - blocking every rep adds a ~20 ms host<->device sync round-trip per
-      call on the tunneled dev setup — an artifact a local host would not
-      pay — so reps are pipelined and only the LAST result is awaited
-      (device programs serialize per core, so all reps have completed).
+      backend-side caches (r3: a 4096-instance solve "ran" in 80 us), so
+      every rep gets its own input;
+    - ``block_until_ready`` on the tunneled dev backend can return before
+      the enqueued programs actually execute (r5: 100 pipelined ~23 ms
+      solves "completed" in 10 ms total under block-last AND block-all),
+      so the timed region must end with a host fetch of a value DERIVED
+      from all outputs — data dependence cannot be faked;
+    - blocking every rep would add a ~20 ms host<->device round trip per
+      call, so reps stay pipelined; the single forcing fetch pays one
+      round trip, which is measured immediately before (device idle) and
+      subtracted.
     The first WARMUP inputs are burned on compile/warm-up.
     """
-    for x in inputs[:WARMUP]:
-        jax.block_until_ready(step(x))
+    assert len(inputs) > WARMUP, "timeit_distinct needs > WARMUP inputs"
+    import jax.numpy as jnp
+
+    def force(outs):
+        return float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+
+    warm = [step(x) for x in inputs[:WARMUP]]
+    force(warm)
+    # round-trip cost of the forcing fetch alone: the device is idle and
+    # ``warm`` buffers are already materialized, so this times only the
+    # tiny reduction dispatch + host transfer
+    t0 = time.perf_counter()
+    force(warm[-1:])
+    rtt = time.perf_counter() - t0
     rest = inputs[WARMUP:]
     t0 = time.perf_counter()
-    out = None
-    for x in rest:
-        out = step(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / len(rest)
+    outs = [step(x) for x in rest]
+    force(outs)
+    total = time.perf_counter() - t0
+    return max(total - rtt, 1e-9) / len(rest)
 
 
 def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="chain",
-                 loop_closure_every=10):
+                 loop_closure_every=10, roofline_key=None, details=None,
+                 **cfg_kwargs):
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
@@ -65,12 +83,42 @@ def bench_solver(n_nodes, lm_iters, pcg_iters, reps, preconditioner="chain",
     ]
     cfg = solver.SolverConfig(
         iterations=lm_iters, pcg_iterations=pcg_iters,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, **cfg_kwargs,
     )
     step = jax.jit(lambda gr: solver.optimize(gr, cfg))
     t = timeit_distinct(lambda gr: step(gr)[0].pose, graphs)
     out, stats = step(graphs[0])
+    if roofline_key is not None and details is not None:
+        details.update(roofline(step, graphs[0], t, roofline_key))
     return t, float(jax.device_get(stats.chi2_history[-1]))
+
+
+def roofline(jitted, example, t, key):
+    """MFU / roofline accounting for one rung (VERDICT r4 #7).
+
+    Uses XLA's own cost analysis of the compiled program (flops + bytes
+    accessed) over the measured wall time per call.  Peaks are TPU v5e
+    datasheet numbers: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.  The solve
+    rungs run fp32 at tiny shapes, so MFU is expected to be <<1% — the
+    number exists to show WHERE each rung sits (op-latency / HBM /
+    MXU-bound), not to flatter it.
+    """
+    try:
+        ca = jitted.lower(example).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byt = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    out = {
+        f"{key}_device_gflops": round(flops / 1e9, 3),
+        f"{key}_gflops_per_s": round(flops / t / 1e9, 1),
+        f"{key}_gbytes_per_s": round(byt / t / 1e9, 1),
+        f"{key}_hbm_util_pct": round(100.0 * byt / t / 819e9, 2),
+        f"{key}_mfu_pct": round(100.0 * (flops / t) / 197e12, 3),
+    }
+    return out
 
 
 def bench_batched_instances(batch, n_nodes, lm_iters, reps):
@@ -322,16 +370,34 @@ def bench_epoch_500_rgbd_laser(reps=5):
 def main():
     details = {"platform": jax.devices()[0].platform}
 
-    # --- solver ladder (default chain preconditioner) ---
-    t, chi2 = bench_solver(100, 20, 12, reps=20)
+    # --- solver ladder ---
+    # Headline config (r5): Woodbury-preconditioned fast LM — the spine
+    # tridiagonal factor plus a Newton-Schulz-inverted low-rank closure
+    # correction gives near-exact linear solves, so LM converges and
+    # early-exits with g2o-parity termination (g2o's optimize(20) also
+    # treats 20 as an upper bound and stops on small gain). 20 remains
+    # the iteration cap; chi2 must stay at parity with the fixed-20
+    # chain rung below, which keeps r4 semantics for comparability.
+    WB = dict(preconditioner="woodbury", precond_refresh=3,
+              chain_dense_cutoff=8, direct_closure_cap=64)
+    t, chi2 = bench_solver(100, 20, 4, reps=20, **WB)
     details["solve_100_ms"] = round(1e3 * t, 2)
     details["solve_100_chi2"] = round(chi2, 2)
 
-    t, chi2 = bench_solver(1000, 20, 12, reps=10)
+    t, chi2 = bench_solver(1000, 20, 4, reps=30, roofline_key="solve_1k",
+                           details=details, **WB)
     headline = 1.0 / t
     details["solve_1k_20it_ms"] = round(1e3 * t, 2)
     details["solve_1k_solves_per_sec"] = round(headline, 2)
     details["solve_1k_chi2"] = round(chi2, 2)
+
+    # r4-semantics rung: fixed 20 iterations, chain PCG, no early exit —
+    # apples-to-apples with BENCH_r04 and the chi2-parity guard for the
+    # early-exiting headline
+    t, chi2 = bench_solver(1000, 20, 12, reps=10, mode="pcg",
+                           early_exit=False)
+    details["solve_1k_fixed20_ms"] = round(1e3 * t, 2)
+    details["solve_1k_fixed20_chi2"] = round(chi2, 2)
 
     t, chi2 = bench_solver(1000, 20, 32, reps=10, preconditioner="jacobi")
     details["solve_1k_jacobi_20x32_ms"] = round(1e3 * t, 2)

@@ -166,8 +166,13 @@ class SlamConfig:
     estimation: EdgeEstimationConfig = EdgeEstimationConfig()
     # the live pipeline multi-starts every solve from the odometry prior
     # too (batched with the refined start) — optimization must never end
-    # in a basin worse than raw odometry
-    solver: SolverConfig = SolverConfig(odometry_restart=True)
+    # in a basin worse than raw odometry.  The Woodbury-preconditioned
+    # fast LM (near-exact solves, g2o-parity early exit) is the measured
+    # winner at live graph sizes (<=4k nodes) on TPU v5e.
+    solver: SolverConfig = SolverConfig(
+        odometry_restart=True, preconditioner="woodbury",
+        pcg_iterations=4, precond_refresh=3, chain_dense_cutoff=8,
+    )
     filter: FilterConfig = FilterConfig()
     scope: ScopeConfig = ScopeConfig()
     keyframe: KeyframeConfig = KeyframeConfig()

@@ -73,7 +73,7 @@ class SolverConfig:
                                   # second (odometry-start) solve runs
                                   # unless the refined-start solve ended
                                   # below margin * chi2(odometry prior).
-                                  # 0 = never restart, inf = always.
+                                  # 0 = always restart, inf = never.
     odometry_restart: bool = False  # ALSO solve from the odometry-prior
                                   # trajectory (diff ∘ odom_pose per node)
                                   # and keep the lower-chi2 result. Pose
@@ -93,6 +93,62 @@ class SolverConfig:
                                   # is op-latency-bound and the split only
                                   # adds kernels; tests lower this to force
                                   # the split path on small graphs.
+    early_exit: bool = True       # terminate LM once an accepted step's
+                                  # relative chi2 gain drops below
+                                  # ``early_exit_tol`` or LM is stuck at
+                                  # lambda_max — the same semantics as
+                                  # g2o's optimize(N) (N is an upper
+                                  # bound; its terminateThreshold stops
+                                  # on small gain).  Runs the LM loop as
+                                  # a lax.while_loop (single-device chain
+                                  # path only); set False for fixed-
+                                  # iteration-count benchmarking.
+    early_exit_tol: float = 1e-6  # relative chi2 gain below which an
+                                  # accepted step counts as converged.
+    unroll_lm: int = 1            # lax.scan unroll factor for the LM loop;
+                                  # small-graph solves are op-latency-bound
+                                  # (hundreds of ~µs-scale ops per solve),
+                                  # and unrolling lets XLA fuse/overlap
+                                  # across iterations and drop While-loop
+                                  # bookkeeping. Costs compile time.
+    unroll_pcg: int = 1           # same for the inner CG fori_loop.
+    woodbury_ns_iters: int = 20   # Newton-Schulz iterations for the
+                                  # explicit K×K inverse inside the
+                                  # "woodbury" preconditioner (pure
+                                  # matmuls; quadratic convergence, so
+                                  # ~20 handles condition numbers to
+                                  # ~1e6 — and preconditioning only
+                                  # needs an approximate inverse).
+    mode: str = "auto"            # "auto" | "direct" | "pcg". "direct"
+                                  # solves (H + λ·diag) dx = -g EXACTLY
+                                  # each LM iteration: the odometry-spine
+                                  # block-tridiagonal factored by cyclic
+                                  # reduction is the base solve, and the
+                                  # compacted closure edges enter as a
+                                  # low-rank B·Bᵀ correction via the
+                                  # Woodbury identity — no PCG loop at
+                                  # all.  Measured on TPU v5e, XLA's K×K
+                                  # Cholesky/cho_solve lower to
+                                  # sequential blocked loops (~3-6 ms per
+                                  # call regardless of K), so the exact
+                                  # path LOSES to chain-PCG there; it is
+                                  # kept as an explicit option (exactness
+                                  # oracle, CPU/LAPACK backends) and is
+                                  # never chosen by "auto".
+    direct_node_threshold: int = 4096
+    direct_closure_cap: int = 512  # static closure capacity of the direct
+                                  # path (K = 6·cap columns). Overflow
+                                  # falls back to chain-preconditioned
+                                  # PCG inside the same jit (lax.cond) —
+                                  # slower, never wrong.
+    direct_inner_cg: int = 0      # 0: solve the K×K Woodbury system with
+                                  # Cholesky (exact; right on CPU/LAPACK).
+                                  # >0: that many Jacobi-preconditioned CG
+                                  # iterations on the SPD K×K system —
+                                  # each inner iteration is ONE dense
+                                  # matvec (a single fused op), which is
+                                  # what TPU wants; XLA's Cholesky there
+                                  # is a ~3-6 ms sequential loop.
     closure_fraction: float = 0.25  # static capacity of the compacted
                                   # closure-edge table, as a fraction of
                                   # edge capacity. TPU row gathers/scatters
@@ -231,6 +287,54 @@ def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array,
     return hvp
 
 
+def _make_fused_linearize(g: GraphState, free: jax.Array, config: SolverConfig,
+                          adj_meas_inv: jax.Array):
+    """Factory for the fused linearization used by the fast/direct paths.
+
+    Returns ``linearize(r) -> (Ji, Jj, W, grad, Hblocks, U)`` computing the
+    gradient, block-diagonal Hessian and spine off-diagonal blocks with ONE
+    segment-sum per edge endpoint: per-edge payloads are concatenated into
+    (E, 78)/(E, 42) rows — scatters are the most latency-expensive ops in
+    an LM iteration on TPU, so five of them collapse into two.
+    """
+    n = g.node_capacity
+    dt = g.pose.dtype
+    is_chain_w = ((g.e_to == g.e_from + 1) & g.e_valid).astype(dt)
+    both_free = (free[:, None, None] > 0) & (jnp.roll(free, -1)[:, None, None] > 0)
+    cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0], dt)
+
+    def linearize(r):
+        W = _weighted_info(g, r, config.huber_delta)
+        Ji, Jj = factors.jacobians_from_residual(r, adj_meas_inv)
+        if config.optimize_xy_only:
+            # project onto x/y/yaw by column-masking the Jacobians: every
+            # assembled quantity below then lives in P·H·P automatically
+            Ji = Ji * cmask
+            Jj = Jj * cmask
+        Wr = jnp.einsum("eij,ej->ei", W, r, precision=_PREC)
+        gi = jnp.einsum("eji,ej->ei", Ji, Wr, precision=_PREC)
+        gj = jnp.einsum("eji,ej->ei", Jj, Wr, precision=_PREC)
+        WJi = jnp.einsum("eij,ejk->eik", W, Ji, precision=_PREC)
+        WJj = jnp.einsum("eij,ejk->eik", W, Jj, precision=_PREC)
+        Hii = jnp.einsum("eji,ejk->eik", Ji, WJi, precision=_PREC)
+        Hjj = jnp.einsum("eji,ejk->eik", Jj, WJj, precision=_PREC)
+        Uc = jnp.einsum("eji,ejk->eik", Ji, WJj, precision=_PREC)
+        Uc = Uc * is_chain_w[:, None, None]
+        E = g.edge_capacity
+        pf = jnp.concatenate(
+            [gi, Hii.reshape(E, 36), Uc.reshape(E, 36)], axis=1
+        )
+        pt = jnp.concatenate([gj, Hjj.reshape(E, 36)], axis=1)
+        sf = jax.ops.segment_sum(pf, g.e_from, num_segments=n)
+        st = jax.ops.segment_sum(pt, g.e_to, num_segments=n)
+        grad = (sf[:, :6] + st[:, :6]) * free[:, None]
+        Hb = (sf[:, 6:42] + st[:, 6:42]).reshape(n, 6, 6)
+        U = sf[:, 42:].reshape(n, 6, 6) * both_free
+        return Ji, Jj, W, grad, Hb, U
+
+    return linearize
+
+
 def closure_partition(g: GraphState, capacity: int):
     """Compacted table of non-spine (loop-closure) edge slots.
 
@@ -312,7 +416,32 @@ def _block_jacobi_inverse(Hblocks: jax.Array, damp: jax.Array, free: jax.Array) 
     return jnp.where(free[:, None, None], inv, eye)
 
 
-def _pcg(hvp, apply_minv, b, iterations: int, tol: float):
+def _newton_schulz_inverse(A: jax.Array, iters: int) -> jax.Array:
+    """Approximate inverse of an SPD matrix by Newton-Schulz iteration.
+
+    X ← X(2I − AX), initialized at Aᵀ/(‖A‖₁‖A‖∞) (guaranteed convergent).
+    Pure dense matmuls — the TPU-shaped replacement for the K×K Cholesky
+    (XLA lowers Cholesky/LU to multi-ms sequential blocked loops on TPU,
+    while ~2·iters matmuls of a few hundred square run in ~100 µs).
+    Falls back to the diagonal inverse if the iteration diverges
+    (preconditioner-grade accuracy is all the caller needs).
+    """
+    k = A.shape[0]
+    a1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    ainf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X = A.T / jnp.maximum(a1 * ainf, 1e-12)
+    eye = jnp.eye(k, dtype=A.dtype)
+
+    def body(X, _):
+        return X @ (2.0 * eye - A @ X), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    ok = jnp.all(jnp.isfinite(X))
+    dinv = jnp.diag(1.0 / jnp.maximum(jnp.diagonal(A), 1e-12))
+    return jnp.where(ok, X, dinv)
+
+
+def _pcg(hvp, apply_minv, b, iterations: int, tol: float, unroll: int = 1):
     """Preconditioned CG for H dx = b. Fixed iteration count, masked stall."""
 
     x0 = jnp.zeros_like(b)
@@ -322,7 +451,7 @@ def _pcg(hvp, apply_minv, b, iterations: int, tol: float):
     rz0 = jnp.vdot(r0, z0)
     b2 = jnp.vdot(b, b)
 
-    def body(_, carry):
+    def body(carry, _):
         x, r, p, rz = carry
         Hp = hvp(p)
         pHp = jnp.vdot(p, Hp)
@@ -334,10 +463,430 @@ def _pcg(hvp, apply_minv, b, iterations: int, tol: float):
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(ok, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = jnp.where(ok, z + beta * p, p)
-        return x, r, p, jnp.where(ok, rz_new, rz)
+        return (x, r, p, jnp.where(ok, rz_new, rz)), None
 
-    x, r, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    (x, r, _, _), _ = jax.lax.scan(
+        body, (x0, r0, p0, rz0), None, length=iterations,
+        unroll=min(unroll, max(iterations, 1)),
+    )
     return x
+
+
+# ---------------------------------------------------------------------------
+# Direct LM: exact (H + λ·diag) solve via chain factor + Woodbury closure
+# correction
+# ---------------------------------------------------------------------------
+
+def _lm_loop_direct(g: GraphState, free: jax.Array, config: SolverConfig,
+                    r0: jax.Array, chi2_0: jax.Array, adj_meas_inv: jax.Array):
+    """LM with an EXACT linear solve per iteration — no outer PCG loop.
+
+    Split H + λ·diag = T + B·Bᵀ where
+      T = odometry-spine block-tridiagonal (consecutive-slot couplings,
+          their diagonal contributions, Marquardt damping over the FULL
+          diagonal) — factored by cyclic reduction once per iteration;
+      B = per-closure-edge factors stacked column-blockwise: each closure
+          edge contributes J_eᵀ W_e J_e = V_e·V_eᵀ with V_e = J_eᵀ·chol(W_e).
+    Woodbury: H⁻¹b = T⁻¹b - Z·(I + BᵀZ)⁻¹·BᵀT⁻¹b with Z = T⁻¹B, so the
+    whole linear solve is ONE K-wide multi-RHS substitution sweep plus one
+    K×K SPD solve (K = 6·closure-capacity).  The K-system is solved by
+    Cholesky (CPU/LAPACK) or ``direct_inner_cg`` Jacobi-CG matvec
+    iterations (TPU — XLA's Cholesky there is a multi-ms sequential
+    loop).  B is assembled by one-hot outer products, NOT scatter — the
+    (n,6,C,6) scatter-add measured ~760 µs/iteration on TPU v5e while the
+    outer-product build is memory-bound (~150 µs).
+
+    Exact steps make LM converge in ~half the iteration budget of the
+    under-solving PCG path, so the same g2o-parity early termination as
+    ``_lm_loop_fast`` applies.  Replaces the reference's CSparse Cholesky
+    inside its LM loop (``g2o_optimizer.cpp:137-149``).  Closure overflow
+    of the static cap falls back to chain-preconditioned PCG under
+    ``lax.cond`` (slower, never wrong).
+    """
+    from uzliti_slam_tpu.graph import tridiag
+
+    n = g.node_capacity
+    dt = g.pose.dtype
+    C = min(
+        max(int(config.closure_fraction * g.edge_capacity), 8),
+        config.direct_closure_cap,
+        g.edge_capacity,
+    )
+    cl_idx, cl_from, cl_to, n_cl = closure_partition(g, C)
+    K = 6 * C
+    fits = n_cl <= C
+    free_ext = jnp.concatenate([free, jnp.zeros((1,), free.dtype)])
+    eye6 = jnp.eye(6, dtype=dt)
+    cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0], dt)
+    linearize = _make_fused_linearize(g, free, config, adj_meas_inv)
+    # one-hot row-selection matrices for the closure endpoints: B and all
+    # Bᵀ· products become dense matmuls instead of scatters/gathers
+    node_ids = jnp.arange(n, dtype=jnp.int32)
+    Sf = (cl_from[:, None] == node_ids[None, :]).astype(dt)   # (C, n)
+    St = (cl_to[:, None] == node_ids[None, :]).astype(dt)
+
+    def lm_step(carry):
+        it, poses, r, lam, chi2_cur, hist, acc, done = carry
+        Ji, Jj, W, grad, Hfull, U = linearize(r)
+        # per-closure factors V = Jᵀ·chol(W + δI); δ keeps the Cholesky
+        # finite for partial-constraint edge types with zero info blocks
+        # while perturbing H by ~1e-8
+        Wc = W[cl_idx] + 1e-8 * eye6
+        Lc = jnp.linalg.cholesky(Wc)
+        Lc = jnp.where(jnp.isfinite(Lc), Lc, 0.0)
+        Vf = jnp.einsum("cji,cjk->cik", Ji[cl_idx], Lc, precision=_PREC)
+        Vt = jnp.einsum("cji,cjk->cik", Jj[cl_idx], Lc, precision=_PREC)
+        Vf = Vf * free_ext[cl_from][:, None, None]
+        Vt = Vt * free_ext[cl_to][:, None, None]
+        # spine-only diagonal = full diagonal minus closure contributions
+        Hcl_f = jnp.einsum("cik,cjk->cij", Vf, Vf, precision=_PREC)
+        Hcl_t = jnp.einsum("cik,cjk->cij", Vt, Vt, precision=_PREC)
+        Hcl = jnp.einsum("cn,cij->nij", Sf, Hcl_f, precision=_PREC) + \
+              jnp.einsum("cn,cij->nij", St, Hcl_t, precision=_PREC)
+        Hsp = Hfull - Hcl
+        hdiag = jax.vmap(jnp.diag)(Hfull)
+        damp = lam * jnp.maximum(hdiag, 1e-6)
+        # 1e-4 floor keeps T invertible for nodes with no spine edges
+        # (closure-only / isolated) — an O(1e-4) extra damping vs info
+        # scales of O(100), absorbed into LM's λ semantics
+        Dm = Hsp + jax.vmap(jnp.diag)(damp) + 1e-4 * eye6
+        if config.optimize_xy_only:
+            Dm = Dm + jnp.diag(1.0 - cmask)
+        Dm = jnp.where(free[:, None, None] > 0, Dm, eye6)
+        factor = tridiag.block_tridiag_factor(
+            Dm, U, dense_cutoff=config.chain_dense_cutoff
+        )
+        # B via one-hot outer products: B[m, i, c, k] = Sf[c,m]·Vf[c,i,k] + ...
+        B = jnp.einsum("cn,cik->nick", Sf, Vf, precision=_PREC) + \
+            jnp.einsum("cn,cik->nick", St, Vt, precision=_PREC)
+        B = B.reshape(n, 6, K)
+        rhs = jnp.concatenate([B, -grad[:, :, None]], axis=2)
+        Zall = tridiag.block_tridiag_apply(factor, rhs)
+        Z, y = Zall[:, :, :K], Zall[:, :, K]
+        # Bᵀ·Z and Bᵀ·y through the one-hot row selections (pure matmuls)
+        Zf = jnp.einsum("cn,nik->cik", Sf, Z, precision=_PREC)
+        Zt = jnp.einsum("cn,nik->cik", St, Z, precision=_PREC)
+        BtZ = (
+            jnp.einsum("cji,cjk->cik", Vf, Zf, precision=_PREC)
+            + jnp.einsum("cji,cjk->cik", Vt, Zt, precision=_PREC)
+        ).reshape(K, K)
+        Kmat = jnp.eye(K, dtype=BtZ.dtype) + BtZ
+        yf = jnp.einsum("cn,ni->ci", Sf, y, precision=_PREC)
+        yt = jnp.einsum("cn,ni->ci", St, y, precision=_PREC)
+        u = (
+            jnp.einsum("cji,cj->ci", Vf, yf, precision=_PREC)
+            + jnp.einsum("cji,cj->ci", Vt, yt, precision=_PREC)
+        ).reshape(K)
+        if config.direct_inner_cg > 0:
+            ok = fits & jnp.all(jnp.isfinite(Kmat))
+
+            def solve_K(_):
+                dinv = 1.0 / jnp.maximum(jnp.diagonal(Kmat), 1e-12)
+                x = jnp.zeros_like(u)
+                rr = u
+                z = dinv * rr
+                p = z
+                rz = jnp.vdot(rr, z)
+
+                def cgb(carry2, _):
+                    x, rr, p, rz = carry2
+                    Ap = Kmat @ p
+                    pAp = jnp.vdot(p, Ap)
+                    okk = pAp > 1e-30
+                    alpha = jnp.where(okk, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+                    x = x + alpha * p
+                    rr = rr - alpha * Ap
+                    z = dinv * rr
+                    rz_new = jnp.vdot(rr, z)
+                    beta = jnp.where(okk, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+                    p = jnp.where(okk, z + beta * p, p)
+                    return (x, rr, p, jnp.where(okk, rz_new, rz)), None
+
+                (x, _, _, _), _ = jax.lax.scan(
+                    cgb, (x, rr, p, rz), None, length=config.direct_inner_cg
+                )
+                return x
+        else:
+            cholK = jnp.linalg.cholesky(Kmat)
+            ok = fits & jnp.all(jnp.isfinite(jnp.diagonal(cholK)))
+
+            def solve_K(_):
+                return jax.scipy.linalg.cho_solve((cholK, True), u)
+
+        def direct_dx(_):
+            v = solve_K(None)
+            return y - jnp.einsum("nik,k->ni", Z, v, precision=_PREC)
+
+        def pcg_dx(_):
+            hvp = _make_hvp(g, Ji, Jj, W, damp, free)
+            minv = lambda rr: tridiag.block_tridiag_apply(factor, rr)
+            return _pcg(hvp, minv, -grad, config.pcg_iterations,
+                        config.pcg_tol, unroll=config.unroll_pcg)
+
+        dx = jax.lax.cond(ok, direct_dx, pcg_dx, None)
+        dx = dx * free[:, None]
+        if config.optimize_xy_only:
+            dx = dx * cmask
+
+        cand = lie.pose_retract(poses, dx)
+        r_cand = factors.batched_residuals(
+            cand[g.e_from], cand[g.e_to], g.e_transform
+        )
+        chi2_new = _robust_chi2_from_r(g, r_cand, config.huber_delta)
+        accept = chi2_new < chi2_cur
+        gain = (chi2_cur - chi2_new) / jnp.maximum(chi2_cur, 1e-12)
+        poses = jnp.where(accept, cand, poses)
+        r = jnp.where(accept, r_cand, r)
+        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
+            config.lambda_min,
+            config.lambda_max,
+        )
+        if config.early_exit:
+            done = (
+                accept
+                & (gain < config.early_exit_tol)
+                & (lam <= config.lambda_init)
+            ) | ((~accept) & (lam >= config.lambda_max))
+        else:
+            done = jnp.asarray(False)
+        hist = hist.at[it].set(chi2_cur)
+        acc = acc.at[it].set(accept)
+        return (it + 1, poses, r, lam_next, chi2_cur, hist, acc, done)
+
+    def cond(carry):
+        it, _, _, _, _, _, _, done = carry
+        return (~done) & (it < config.iterations)
+
+    hist0 = jnp.full((config.iterations,), chi2_0, dtype=dt)
+    acc0 = jnp.zeros((config.iterations,), dtype=bool)
+    init = (jnp.asarray(0, jnp.int32), g.pose, r0,
+            jnp.asarray(config.lambda_init, dt), chi2_0, hist0, acc0,
+            jnp.asarray(False))
+    it, poses, _, lam, chi2_f, hist, acc, _ = jax.lax.while_loop(
+        cond, lm_step, init
+    )
+    steps = jnp.arange(config.iterations)
+    hist = jnp.where(steps < it, hist, chi2_f)
+    return poses, lam, jnp.concatenate([chi2_0[None], hist]), acc
+
+
+# ---------------------------------------------------------------------------
+# Fast chain-PCG LM: fused scatters + g2o-style early termination
+# ---------------------------------------------------------------------------
+
+def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
+                  r0: jax.Array, chi2_0: jax.Array, adj_meas_inv: jax.Array):
+    """Single-device chain-preconditioned LM tuned for op-latency-bound
+    small/medium graphs (the live-pipeline regime).
+
+    Differences vs the generic scan path:
+    - ONE segment-sum per edge endpoint: the per-edge gradient, diagonal
+      Hessian block, and spine off-diagonal payloads are concatenated into
+      a single (E, 78)/(E, 42) scatter instead of five separate ones —
+      scatters are the most latency-expensive ops in the iteration.
+    - ``lax.while_loop`` with g2o-parity termination (relative chi2 gain
+      below tol on an accepted step, or stuck at lambda_max): g2o's
+      ``optimize(20)`` treats 20 as an upper bound and stops on small
+      gain (terminateThreshold); a converged 1k-node solve typically
+      needs ~half the budget.
+    - the chain factor is refreshed under ``lax.cond`` every
+      ``precond_refresh`` iterations, so the amortization works inside
+      the while loop too.
+    """
+    from uzliti_slam_tpu.graph import tridiag
+
+    n = g.node_capacity
+    dt = g.pose.dtype
+    eye6 = jnp.eye(6, dtype=dt)
+    cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0], dt)
+    refresh = max(1, min(int(config.precond_refresh), config.iterations))
+    use_split = g.node_capacity >= config.split_hv_threshold
+    if use_split:
+        ccap = max(int(config.closure_fraction * g.edge_capacity), 64)
+        closure = closure_partition(g, min(ccap, g.edge_capacity))
+
+    linearize = _make_fused_linearize(g, free, config, adj_meas_inv)
+
+    use_wb = config.preconditioner == "woodbury"
+    if use_wb:
+        C = min(
+            max(int(config.closure_fraction * g.edge_capacity), 8),
+            config.direct_closure_cap,
+            g.edge_capacity,
+        )
+        cl_idx, cl_from, cl_to, _n_cl = closure_partition(g, C)
+        K = 6 * C
+        free_ext = jnp.concatenate([free, jnp.zeros((1,), free.dtype)])
+        node_ids = jnp.arange(n, dtype=jnp.int32)
+        # one-hot row selections: every Bᵀ· product becomes a dense
+        # matmul (the (n,6,C,6) scatter-add measured ~760 µs on v5e)
+        Sf = (cl_from[:, None] == node_ids[None, :]).astype(dt)
+        St = (cl_to[:, None] == node_ids[None, :]).astype(dt)
+
+        def build_pack(Ji, Jj, W, Hb, U, damp):
+            """Woodbury pack: M⁻¹ = T⁻¹ − P·(BᵀT⁻¹·) with P = T⁻¹B·K⁻¹.
+
+            T = spine tridiagonal + damping (cyclic-reduction factor),
+            B = per-closure factors Jᵀ·chol(W), K = I + BᵀT⁻¹B inverted
+            by Newton-Schulz.  At build time M⁻¹ IS (H+λ·diag)⁻¹ — an
+            exact solve; between refreshes it stays a near-exact
+            preconditioner, so 2-3 CG iterations recover direct-solve
+            step quality at chain-apply cost.  Closure overflow of the
+            static cap only WEAKENS the preconditioner (B truncated —
+            still SPD), never breaks correctness.
+            """
+            Wc = W[cl_idx] + 1e-8 * eye6
+            Lc = jnp.linalg.cholesky(Wc)
+            Lc = jnp.where(jnp.isfinite(Lc), Lc, 0.0)
+            Vf = jnp.einsum("cji,cjk->cik", Ji[cl_idx], Lc, precision=_PREC)
+            Vt = jnp.einsum("cji,cjk->cik", Jj[cl_idx], Lc, precision=_PREC)
+            Vf = Vf * free_ext[cl_from][:, None, None]
+            Vt = Vt * free_ext[cl_to][:, None, None]
+            Hcl_f = jnp.einsum("cik,cjk->cij", Vf, Vf, precision=_PREC)
+            Hcl_t = jnp.einsum("cik,cjk->cij", Vt, Vt, precision=_PREC)
+            Hcl = (
+                jnp.einsum("cn,cij->nij", Sf, Hcl_f, precision=_PREC)
+                + jnp.einsum("cn,cij->nij", St, Hcl_t, precision=_PREC)
+            )
+            # 1e-4 floor keeps T invertible for closure-only/isolated
+            # nodes — O(1e-4) extra damping vs info scales of O(100)
+            Dm = (Hb - Hcl) + jax.vmap(jnp.diag)(damp) + 1e-4 * eye6
+            if config.optimize_xy_only:
+                Dm = Dm + jnp.diag(1.0 - cmask)
+            Dm = jnp.where(free[:, None, None] > 0, Dm, eye6)
+            flv, frt, _ = tridiag.block_tridiag_factor(
+                Dm, U, dense_cutoff=config.chain_dense_cutoff
+            )
+            B = (
+                jnp.einsum("cn,cik->nick", Sf, Vf, precision=_PREC)
+                + jnp.einsum("cn,cik->nick", St, Vt, precision=_PREC)
+            ).reshape(n, 6, K)
+            Z = tridiag.block_tridiag_apply((flv, frt, n), B)
+            Zf = jnp.einsum("cn,nik->cik", Sf, Z, precision=_PREC)
+            Zt = jnp.einsum("cn,nik->cik", St, Z, precision=_PREC)
+            Kmat = jnp.eye(K, dtype=dt) + (
+                jnp.einsum("cji,cjk->cik", Vf, Zf, precision=_PREC)
+                + jnp.einsum("cji,cjk->cik", Vt, Zt, precision=_PREC)
+            ).reshape(K, K)
+            Kinv = _newton_schulz_inverse(Kmat, config.woodbury_ns_iters)
+            P = jnp.einsum("nik,kl->nil", Z, Kinv, precision=_PREC)
+            return flv, frt, Vf, Vt, P
+
+        def pack_apply(pack, rr):
+            flv, frt, Vf, Vt, P = pack
+            q = tridiag.block_tridiag_apply((flv, frt, n), rr)
+            qf = jnp.einsum("cn,ni->ci", Sf, q, precision=_PREC)
+            qt = jnp.einsum("cn,ni->ci", St, q, precision=_PREC)
+            u = (
+                jnp.einsum("cji,cj->ci", Vf, qf, precision=_PREC)
+                + jnp.einsum("cji,cj->ci", Vt, qt, precision=_PREC)
+            ).reshape(-1)
+            return q - jnp.einsum("nik,k->ni", P, u, precision=_PREC)
+
+    else:
+        def build_pack(Ji, Jj, W, Hb, U, damp):
+            Dm = jnp.where(
+                free[:, None, None] > 0,
+                Hb + jax.vmap(jnp.diag)(damp),
+                eye6,
+            )
+            if config.optimize_xy_only:
+                Dm = Dm + jnp.diag(1.0 - cmask)
+            flv, frt, _ = tridiag.block_tridiag_factor(
+                Dm, U, dense_cutoff=config.chain_dense_cutoff
+            )
+            return flv, frt
+
+        def pack_apply(pack, rr):
+            return tridiag.block_tridiag_apply((pack[0], pack[1], n), rr)
+
+    # iteration 0 always builds the pack; carrying it through the loop
+    # keeps the refresh amortization without a chunked scan
+    Ji0, Jj0, W0, _, Hb0, U0 = linearize(r0)
+    damp0 = jnp.asarray(config.lambda_init, dt) * jnp.maximum(
+        jax.vmap(jnp.diag)(Hb0), 1e-6
+    )
+    pack0 = build_pack(Ji0, Jj0, W0, Hb0, U0, damp0)
+
+    def cond(c):
+        it, _, _, _, _, _, _, _, _, done = c
+        return (~done) & (it < config.iterations)
+
+    def body(c):
+        it, poses, r, lam, chi2_cur, pack, stale, hist, acc, done = c
+        Ji, Jj, W, grad, Hb, U = linearize(r)
+        hdiag = jax.vmap(jnp.diag)(Hb)
+        damp = lam * jnp.maximum(hdiag, 1e-6)
+
+        # refresh on schedule OR right after a rejected step — a reject
+        # means the (stale-preconditioned) step was poor and λ moved 3x,
+        # so the next solve needs the preconditioner at the new damping
+        pack = jax.lax.cond(
+            (stale >= refresh) | (it == 0),
+            lambda _: build_pack(Ji, Jj, W, Hb, U, damp),
+            lambda _: pack,
+            None,
+        )
+        stale = jnp.where((stale >= refresh) | (it == 0), 0, stale)
+        if use_split:
+            hvp = _make_split_hvp(g, Ji, Jj, W, Hb, U, closure, damp, free)
+        else:
+            hvp = _make_hvp(g, Ji, Jj, W, damp, free)
+        apply_minv = lambda rr: pack_apply(pack, rr)
+        if config.optimize_xy_only:
+            base_hvp, base_minv = hvp, apply_minv
+            hvp = lambda v: base_hvp(v * cmask) * cmask
+            apply_minv = lambda rr: base_minv(rr * cmask) * cmask
+            grad = grad * cmask
+        dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations,
+                  config.pcg_tol, unroll=config.unroll_pcg)
+        dx = dx * free[:, None]
+
+        cand = lie.pose_retract(poses, dx)
+        r_cand = factors.batched_residuals(
+            cand[g.e_from], cand[g.e_to], g.e_transform
+        )
+        chi2_new = _robust_chi2_from_r(g, r_cand, config.huber_delta)
+        accept = chi2_new < chi2_cur
+        gain = (chi2_cur - chi2_new) / jnp.maximum(chi2_cur, 1e-12)
+        poses = jnp.where(accept, cand, poses)
+        r = jnp.where(accept, r_cand, r)
+        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam / config.lambda_factor, lam * config.lambda_factor),
+            config.lambda_min,
+            config.lambda_max,
+        )
+        # g2o-parity termination: converged (tiny accepted gain WITH the
+        # damping already relaxed — tiny gain at large λ only means the
+        # trust region is small, not that the optimum is reached) or
+        # stuck (rejected step with λ already at its ceiling)
+        done = (
+            accept
+            & (gain < config.early_exit_tol)
+            & (lam <= config.lambda_init)
+        ) | ((~accept) & (lam >= config.lambda_max))
+        hist = hist.at[it].set(chi2_cur)
+        acc = acc.at[it].set(accept)
+        stale_next = jnp.where(accept, stale + 1, refresh)
+        return (it + 1, poses, r, lam_next, chi2_cur, pack, stale_next,
+                hist, acc, done)
+
+    hist0 = jnp.full((config.iterations,), chi2_0, dtype=dt)
+    acc0 = jnp.zeros((config.iterations,), dtype=bool)
+    init = (jnp.asarray(0, jnp.int32), g.pose, r0,
+            jnp.asarray(config.lambda_init, dt), chi2_0,
+            pack0, jnp.asarray(0, jnp.int32), hist0, acc0,
+            jnp.asarray(False))
+    it, poses, _, lam, chi2_f, _, _, hist, acc, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    # entries past termination carry the final chi2 (flat tail)
+    steps = jnp.arange(config.iterations)
+    hist = jnp.where(steps < it, hist, chi2_f)
+    return poses, lam, jnp.concatenate([chi2_0[None], hist]), acc
 
 
 # ---------------------------------------------------------------------------
@@ -382,12 +931,24 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
         g.e_transform
     )
 
+    if reduce is _identity_reduce and config.mode == "direct":
+        # exact Woodbury solve per iteration — optional: XLA's K×K
+        # Cholesky on TPU is a sequential blocked loop, so this loses to
+        # chain-PCG there (kept for CPU/debug and as the exactness oracle)
+        return _lm_loop_direct(g, free, config, r0, chi2_0, adj_meas_inv)
+    if (
+        reduce is _identity_reduce
+        and config.preconditioner in ("chain", "woodbury")
+        and config.early_exit
+    ):
+        return _lm_loop_fast(g, free, config, r0, chi2_0, adj_meas_inv)
+
     def linearize_from_r(r):
         W = _weighted_info(g, r, config.huber_delta)
         Ji, Jj = factors.jacobians_from_residual(r, adj_meas_inv)
         return Ji, Jj, W
 
-    use_chain = config.preconditioner == "chain"
+    use_chain = config.preconditioner in ("chain", "woodbury")
     # Dense/sparse Hv split needs the whole edge table on-device; the
     # edge-sharded solve (reduce = psum) keeps the classic scatter form.
     # Below ~4k nodes the solve is XLA-op-latency-bound, not scatter-bound,
@@ -454,7 +1015,8 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
                 hvp = lambda v: base_hvp(v * cmask) * cmask
                 apply_minv = lambda r: base_minv(r * cmask) * cmask
                 grad = grad * cmask
-            dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations, config.pcg_tol)
+            dx = _pcg(hvp, apply_minv, -grad, config.pcg_iterations,
+                      config.pcg_tol, unroll=config.unroll_pcg)
             dx = dx * free[:, None]
 
             cand = lie.pose_retract(poses, dx)
@@ -487,7 +1049,8 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             _, r, lam, _ = carry
             factor = build_chain_factor(r, lam)
             steps = chunk_idx * refresh + jnp.arange(refresh)
-            return jax.lax.scan(make_lm_step(factor), carry, steps)
+            return jax.lax.scan(make_lm_step(factor), carry, steps,
+                                unroll=min(config.unroll_lm, refresh))
 
         (poses, _, lam, _), (chi2_hist, accepted) = jax.lax.scan(
             chunk, init, jnp.arange(n_chunks)
@@ -499,6 +1062,7 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             make_lm_step(None),
             init,
             jnp.arange(config.iterations),
+            unroll=min(config.unroll_lm, config.iterations),
         )
     return poses, lam, jnp.concatenate([chi2_0[None], chi2_hist]), accepted
 

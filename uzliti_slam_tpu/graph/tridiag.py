@@ -81,7 +81,7 @@ def _pad_pow2(D, U, b):
     eye = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), (pad, 6, 6))
     D = jnp.concatenate([D, eye])
     U = jnp.concatenate([U, jnp.zeros((pad, 6, 6), D.dtype)])[:n2]
-    b = jnp.concatenate([b, jnp.zeros((pad, 6), D.dtype)])
+    b = jnp.concatenate([b, jnp.zeros((pad,) + b.shape[1:], D.dtype)])
     return D, U, b, n
 
 
@@ -157,15 +157,28 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64):
         Dk, Uk = newD, newU
 
     root_inv = _dense_root_inverse(Dk, Uk)
-    return (levels, root_inv, n_orig)
+    # tuple: the factor is carried through lax.while_loop by the solver's
+    # early-exit path, so its pytree structure must be hashable/stable
+    return (tuple(levels), root_inv, n_orig)
 
 
 def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
-    """Solve A x = b using a ``block_tridiag_factor`` result."""
+    """Solve A x = b using a ``block_tridiag_factor`` result.
+
+    ``b`` may be a single RHS (n, 6) or a multi-RHS stack (n, 6, K) — the
+    direct Woodbury solver pushes the whole compacted closure block matrix
+    plus the gradient through ONE substitution sweep, so the per-level
+    einsums run K-wide (MXU shapes) instead of K sequential applies.
+    """
     levels, root_inv, n_orig = factor
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
     n2 = 1 << max((n_orig - 1).bit_length(), 0)
     if n2 != n_orig:
-        b = jnp.concatenate([b, jnp.zeros((n2 - n_orig, 6), b.dtype)])
+        b = jnp.concatenate(
+            [b, jnp.zeros((n2 - n_orig,) + b.shape[1:], b.dtype)]
+        )
 
     # forward: reduce b through the levels, remembering per-level odd parts
     b_levels = []
@@ -176,28 +189,30 @@ def block_tridiag_apply(factor, b: jax.Array) -> jax.Array:
         b_levels.append(bo)
         bk = (
             be
-            - jnp.einsum("nij,nj->ni", P1m, bo_m, precision=_PREC)
-            - jnp.einsum("nij,nj->ni", P2, bo, precision=_PREC)
+            - jnp.einsum("nij,njk->nik", P1m, bo_m, precision=_PREC)
+            - jnp.einsum("nij,njk->nik", P2, bo, precision=_PREC)
         )
 
-    # dense root solve: one matvec over the remaining m blocks
+    # dense root solve: one matmul over the remaining m blocks
     m_root = root_inv.shape[0] // 6
+    K = bk.shape[-1]
     x = jnp.einsum(
-        "ij,j->i", root_inv, bk.reshape(-1), precision=_PREC
-    ).reshape(m_root, 6)
+        "ij,jk->ik", root_inv, bk.reshape(-1, K), precision=_PREC
+    ).reshape(m_root, 6, K)
 
     for (Dinv_o, P1m, P2, G1, G2), bo in zip(reversed(levels), reversed(b_levels)):
         m = 2 * bo.shape[0]
         x_e = x
         x_e_next = jnp.roll(x_e, -1, axis=0).at[-1].set(0.0)
         x_o = (
-            jnp.einsum("nij,nj->ni", Dinv_o, bo, precision=_PREC)
-            - jnp.einsum("nij,nj->ni", G1, x_e, precision=_PREC)
-            - jnp.einsum("nij,nj->ni", G2, x_e_next, precision=_PREC)
+            jnp.einsum("nij,njk->nik", Dinv_o, bo, precision=_PREC)
+            - jnp.einsum("nij,njk->nik", G1, x_e, precision=_PREC)
+            - jnp.einsum("nij,njk->nik", G2, x_e_next, precision=_PREC)
         )
-        x = jnp.stack([x_e, x_o], axis=1).reshape(m, 6)
+        x = jnp.stack([x_e, x_o], axis=1).reshape(m, 6, K)
 
-    return x[:n_orig]
+    x = x[:n_orig]
+    return x[..., 0] if squeeze else x
 
 
 def block_tridiag_solve(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:

@@ -125,6 +125,8 @@ def bench_batched_instances(batch, n_nodes, lm_iters, reps):
     """Fleet rung: DISTINCT per-instance graphs (split PRNG keys -> each
     instance gets its own noise realization and convergence path) at the
     full 20-LM-iteration configuration — no broadcast shortcuts."""
+    import jax.numpy as jnp
+
     from uzliti_slam_tpu.graph import solver
     from uzliti_slam_tpu.io import synthetic
 
@@ -135,13 +137,22 @@ def bench_batched_instances(batch, n_nodes, lm_iters, reps):
     for s in range(WARMUP + reps):
         keys = jax.random.split(jax.random.PRNGKey(s), batch)
         batches.append(jax.block_until_ready(make(keys)))
-    # chain_dense_cutoff=1: full cyclic reduction (pure batched 6x6 math);
-    # the dense-root LU would serialize per vmapped instance on TPU
+    # cutoff 16 + Newton-Schulz root: 2 cyclic-reduction levels + one
+    # batched-matmul root inverse per factor. The fleet solve is bound by
+    # SEQUENTIAL op count (thousands of tiny batched kernels), not flops —
+    # trading 4 reduction levels for dense batched matmul work is the r5
+    # fleet win; vmapped LU would serialize per instance.
     cfg = solver.SolverConfig(
-        iterations=lm_iters, pcg_iterations=16, chain_dense_cutoff=1
+        iterations=lm_iters, pcg_iterations=8, chain_dense_cutoff=16,
+        chain_root_ns=True,
     )
     step = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[0].pose))
-    return timeit_distinct(step, batches)
+    t = timeit_distinct(step, batches)
+    # convergence honesty: mean final chi2 across the fleet (distinct
+    # noise realizations -> compare across rounds at equal config)
+    stats = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[1]))(batches[0])
+    chi2_mean = float(jnp.mean(stats.chi2_history[:, -1]))
+    return t, chi2_mean
 
 
 def bench_sharded_overhead(n_nodes, reps):
@@ -371,21 +382,21 @@ def main():
     details = {"platform": jax.devices()[0].platform}
 
     # --- solver ladder ---
-    # Headline config (r5): Woodbury-preconditioned fast LM — the spine
-    # tridiagonal factor plus a Newton-Schulz-inverted low-rank closure
-    # correction gives near-exact linear solves, so LM converges and
-    # early-exits with g2o-parity termination (g2o's optimize(20) also
+    # Headline config (r5): chain-preconditioned fast LM with fused
+    # scatters + g2o-parity early termination (g2o's optimize(20) also
     # treats 20 as an upper bound and stops on small gain). 20 remains
-    # the iteration cap; chi2 must stay at parity with the fixed-20
-    # chain rung below, which keeps r4 semantics for comparability.
-    WB = dict(preconditioner="woodbury", precond_refresh=3,
-              chain_dense_cutoff=8, direct_closure_cap=64)
-    t, chi2 = bench_solver(100, 20, 4, reps=20, **WB)
+    # the iteration cap; chi2 lands at EXACT parity with the fixed-20
+    # rung below (37.7 on the 1k graph), which keeps r4 semantics for
+    # comparability. The Woodbury preconditioner measured faster still
+    # (77/s same-session) but at degraded chi2 (47 vs 37.7), so it is a
+    # secondary rung, not the headline — χ² parity is part of the metric.
+    FAST = dict(preconditioner="chain", precond_refresh=5)
+    t, chi2 = bench_solver(100, 20, 12, reps=20, **FAST)
     details["solve_100_ms"] = round(1e3 * t, 2)
     details["solve_100_chi2"] = round(chi2, 2)
 
-    t, chi2 = bench_solver(1000, 20, 4, reps=30, roofline_key="solve_1k",
-                           details=details, **WB)
+    t, chi2 = bench_solver(1000, 20, 12, reps=30, roofline_key="solve_1k",
+                           details=details, **FAST)
     headline = 1.0 / t
     details["solve_1k_20it_ms"] = round(1e3 * t, 2)
     details["solve_1k_solves_per_sec"] = round(headline, 2)
@@ -398,6 +409,14 @@ def main():
                            early_exit=False)
     details["solve_1k_fixed20_ms"] = round(1e3 * t, 2)
     details["solve_1k_fixed20_chi2"] = round(chi2, 2)
+
+    # Woodbury rung: spine factor + Newton-Schulz low-rank closure
+    # correction — fastest wall clock, weaker chi2 (see headline note)
+    t, chi2 = bench_solver(1000, 20, 4, reps=10, preconditioner="woodbury",
+                           precond_refresh=3, chain_dense_cutoff=8,
+                           direct_closure_cap=64)
+    details["solve_1k_woodbury_ms"] = round(1e3 * t, 2)
+    details["solve_1k_woodbury_chi2"] = round(chi2, 2)
 
     t, chi2 = bench_solver(1000, 20, 32, reps=10, preconditioner="jacobi")
     details["solve_1k_jacobi_20x32_ms"] = round(1e3 * t, 2)
@@ -459,9 +478,10 @@ def main():
     )
 
     # fleet rung: 4096 DISTINCT instances at the full 20-iteration config
-    t = bench_batched_instances(4096, 64, 20, reps=3)
+    t, fleet_chi2 = bench_batched_instances(4096, 64, 20, reps=3)
     details["batched_4096x64n_20it_ms"] = round(1e3 * t, 2)
     details["batched_instance_solves_per_sec"] = round(4096 / t, 0)
+    details["batched_fleet_mean_chi2"] = round(fleet_chi2, 3)
 
     # sharded-solve rung at mesh=1: shard_map/psum overhead per device
     tp, ts = bench_sharded_overhead(1000, reps=10)

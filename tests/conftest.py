@@ -29,6 +29,20 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
+
+def pytest_load_initial_conftests(early_config, parser, args):
+    """Run two xdist workers (the image has 2 cores; loadfile keeps each
+    module's often-module-scoped fixtures on one worker) — but only when
+    pytest-xdist is actually importable, so plain ``pytest tests/`` works
+    on environments without the plugin (no hard dependency)."""
+    try:
+        import xdist  # noqa: F401
+    except ImportError:
+        return
+    if any(a == "-n" or a.startswith(("-n", "--numprocesses", "-p no:xdist")) for a in args):
+        return
+    args[:] = ["-n", "2", "--dist", "loadfile", *args]
+
 # Collapse generated-graph shapes onto power-of-two tiers so traces and
 # compiled programs are shared across test modules (see synthetic.py).
 from uzliti_slam_tpu.io import synthetic as _synthetic  # noqa: E402

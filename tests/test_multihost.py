@@ -51,3 +51,18 @@ class TestMultihost:
         np.testing.assert_allclose(
             np.asarray(out.pose[3]), np.asarray(ref.pose), atol=1e-2
         )
+        # tighter companion at ONE iteration, where accept/reject chains
+        # cannot diverge: fleet and single solve start from the identical
+        # iterate, so the post-step cost must match to reduction-order
+        # noise — a mis-sharded solve is orders of magnitude off.
+        # chain_dense_cutoff=1 explicitly: the fleet path defaults to full
+        # cyclic reduction, and the reference must precondition identically
+        # for the steps to be comparable.
+        cfg1 = solver.SolverConfig(iterations=1, chain_dense_cutoff=1)
+        out1 = multihost.solve_fleet(batched, mesh, cfg1)
+        ref1 = solver.optimize(graphs[3], cfg1)[0]
+        chi_fleet = float(
+            solver.total_chi2(graphs[3], out1.pose[3], cfg1.huber_delta)
+        )
+        chi_ref = float(solver.total_chi2(graphs[3], ref1.pose, cfg1.huber_delta))
+        assert abs(chi_fleet - chi_ref) <= 1e-3 * max(chi_ref, 1e-9)

@@ -166,12 +166,14 @@ class SlamConfig:
     estimation: EdgeEstimationConfig = EdgeEstimationConfig()
     # the live pipeline multi-starts every solve from the odometry prior
     # too (batched with the refined start) — optimization must never end
-    # in a basin worse than raw odometry.  The Woodbury-preconditioned
-    # fast LM (near-exact solves, g2o-parity early exit) is the measured
-    # winner at live graph sizes (<=4k nodes) on TPU v5e.
+    # in a basin worse than raw odometry.  Chain-preconditioned fast LM
+    # (fused scatters, g2o-parity early exit) is the measured winner at
+    # live graph sizes on TPU v5e AT CHI2 PARITY; the woodbury
+    # preconditioner ran faster but with degraded chi2 (r5 sweep:
+    # 47.5 vs 37.7 on the 1k rung), so quality keeps chain the default.
     solver: SolverConfig = SolverConfig(
-        odometry_restart=True, preconditioner="woodbury",
-        pcg_iterations=4, precond_refresh=3, chain_dense_cutoff=8,
+        odometry_restart=True, preconditioner="chain",
+        pcg_iterations=10, precond_refresh=4,
     )
     filter: FilterConfig = FilterConfig()
     scope: ScopeConfig = ScopeConfig()
@@ -190,3 +192,10 @@ class SlamConfig:
     # reconcile the whole graph. On construction, a non-empty database is
     # loaded and the recognition banks rebuilt — kill-and-resume.
     sync_to_database: str | None = None
+    # periodic odometry-drift calibration (the reference's
+    # SensorTransformOptimizer run live): every N optimization epochs,
+    # re-estimate graph.odom_params from the current graph
+    # (``graph/calibration.py``); the solver consumes them when
+    # ``solver.use_odometry_calibration`` is set
+    # (``g2o_optimizer.cpp:209-227``). 0 = off.
+    calibrate_every: int = 0

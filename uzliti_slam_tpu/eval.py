@@ -75,9 +75,12 @@ def run_tum_sequence(
     def flush(buf):
         if not buf:
             return
+        # native sensor dtypes: uint8 mono + uint16 millimeter depth — the
+        # keyframe body accepts them directly, and the host->device
+        # transfer shrinks ~2.7x vs float32 (the tunneled-TPU hot cost)
         slam.add_frames(
-            np.stack([f["image"] for f in buf]),
-            np.stack([f["depth"] for f in buf]),
+            np.stack([f["image"] for f in buf]).astype(np.uint8),
+            (np.stack([f["depth"] for f in buf]) * 1e3).astype(np.uint16),
             np.stack([f["odom_pose"] for f in buf]),
             np.asarray([f["stamp"] for f in buf], np.float32),
         )

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 from uzliti_slam_tpu.graph import factors
-from uzliti_slam_tpu.graph.state import GraphState
+from uzliti_slam_tpu.graph.state import EDGE_TYPE_2D_WHEEL_ODOMETRY, GraphState
 from uzliti_slam_tpu.ops import lie
 
 
@@ -65,10 +65,25 @@ class SolverConfig:
                                   # surviving blocks and inverts the root
                                   # densely (fewer latency-bound levels —
                                   # right for ONE large graph). Batched
-                                  # fleets set 1: the dense root's LU is
-                                  # serialized per vmapped instance on
-                                  # TPU, while full reduction is pure
-                                  # batched 6x6 arithmetic.
+                                  # fleets pair a small cutoff with
+                                  # chain_root_ns=True.
+    chain_root_ns: bool = False   # invert the dense root by Newton-
+                                  # Schulz (batched matmuls) instead of
+                                  # LU. The FLEET setting: vmapped LU
+                                  # serializes per instance on TPU, while
+                                  # NS matmuls batch across the fleet —
+                                  # cutting cyclic reduction to ~2 levels
+                                  # (cutoff 16) without LU's latency.
+                                  # Approximate (preconditioner-grade).
+    use_odometry_calibration: bool = False  # remap odometry-edge
+                                  # measurements through the calibrated
+                                  # drift model (``graph.odom_params``)
+                                  # before solving — the reference does
+                                  # this inside its optimizer
+                                  # (``g2o_optimizer.cpp:209-227``).
+                                  # Stored measurements stay RAW; only the
+                                  # solve (and the written-back edge
+                                  # errors) see the corrected values.
     restart_chi2_margin: float = 0.2  # odometry_restart trigger: the
                                   # second (odometry-start) solve runs
                                   # unless the refined-start solve ended
@@ -554,7 +569,8 @@ def _lm_loop_direct(g: GraphState, free: jax.Array, config: SolverConfig,
             Dm = Dm + jnp.diag(1.0 - cmask)
         Dm = jnp.where(free[:, None, None] > 0, Dm, eye6)
         factor = tridiag.block_tridiag_factor(
-            Dm, U, dense_cutoff=config.chain_dense_cutoff
+            Dm, U, dense_cutoff=config.chain_dense_cutoff,
+            root_ns=config.chain_root_ns,
         )
         # B via one-hot outer products: B[m, i, c, k] = Sf[c,m]·Vf[c,i,k] + ...
         B = jnp.einsum("cn,cik->nick", Sf, Vf, precision=_PREC) + \
@@ -757,7 +773,8 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
                 Dm = Dm + jnp.diag(1.0 - cmask)
             Dm = jnp.where(free[:, None, None] > 0, Dm, eye6)
             flv, frt, _ = tridiag.block_tridiag_factor(
-                Dm, U, dense_cutoff=config.chain_dense_cutoff
+                Dm, U, dense_cutoff=config.chain_dense_cutoff,
+                root_ns=config.chain_root_ns,
             )
             B = (
                 jnp.einsum("cn,cik->nick", Sf, Vf, precision=_PREC)
@@ -795,7 +812,8 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
             if config.optimize_xy_only:
                 Dm = Dm + jnp.diag(1.0 - cmask)
             flv, frt, _ = tridiag.block_tridiag_factor(
-                Dm, U, dense_cutoff=config.chain_dense_cutoff
+                Dm, U, dense_cutoff=config.chain_dense_cutoff,
+                root_ns=config.chain_root_ns,
             )
             return flv, frt
 
@@ -980,7 +998,8 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
             eye,
         )
         return tridiag.block_tridiag_factor(
-            Dm, U, dense_cutoff=config.chain_dense_cutoff
+            Dm, U, dense_cutoff=config.chain_dense_cutoff,
+            root_ns=config.chain_root_ns,
         )
 
     def make_lm_step(chain_factor):
@@ -1084,6 +1103,21 @@ def _optimize_jit(g: GraphState, config: SolverConfig) -> tuple[GraphState, Solv
     (``g2o_optimizer.cpp:106-135``): poses updated, per-edge chi2 errors
     recomputed, edge ages incremented.
     """
+    e_meas_raw = g.e_transform
+    if config.use_odometry_calibration:
+        # remap odometry measurements through the drift model INSIDE the
+        # optimizer (g2o_optimizer.cpp:209-227); raw measurements are
+        # restored on write-back — calibration refines the model, it never
+        # rewrites sensor data
+        from uzliti_slam_tpu.graph import calibration
+
+        is_odom = g.e_type == EDGE_TYPE_2D_WHEEL_ODOMETRY
+        corrected = calibration.odometry_drift_correct(
+            g.e_transform, g.odom_params
+        )
+        g = g._replace(
+            e_transform=jnp.where(is_odom[:, None], corrected, g.e_transform)
+        )
     if config.optimize_xy_only:
         # flatten vertices first, as the reference does at addVertex
         # (z = 0, roll = pitch = 0, g2o_optimizer.cpp:164-170)
@@ -1137,13 +1171,16 @@ def _optimize_jit(g: GraphState, config: SolverConfig) -> tuple[GraphState, Solv
     else:
         poses, lam, chi2_hist, accepted = lm_loop(g, free, config)
 
-    # Write back errors and ages (g2o_optimizer.cpp:106-135).
+    # Write back errors and ages (g2o_optimizer.cpp:106-135). Errors are
+    # computed against the (possibly drift-corrected) solve measurements;
+    # the stored measurements revert to raw.
     r = factors.batched_residuals(poses[g.e_from], poses[g.e_to], g.e_transform)
     e_err = factors.edge_chi2(r, g.e_info) * g.e_valid
     g = g._replace(
         pose=poses,
         e_error=e_err,
         e_age=g.e_age + g.e_valid.astype(g.e_age.dtype),
+        e_transform=e_meas_raw,
     )
     stats = SolveStats(
         chi2_history=chi2_hist,

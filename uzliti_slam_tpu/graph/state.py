@@ -70,6 +70,12 @@ class GraphState(NamedTuple):
     num_nodes: jax.Array     # () int32 — high-water mark of used node slots
     num_edges: jax.Array     # () int32
     diff_transform: jax.Array  # (7,) map->odom correction (reference diffTransform)
+    # odometry calibration parameters [trans_scale, yaw_per_rad, yaw_per_m]
+    # — the reference's SlamGraph odometry parameters, shipped in every
+    # Graph.msg (``graph_slam_msgs/msg/Graph.msg:1-10``) and applied to
+    # odometry-edge measurements inside the optimizer
+    # (``g2o_optimizer.cpp:209-227``). Nominal = [1, 0, 0].
+    odom_params: jax.Array   # (3,)
 
     @property
     def node_capacity(self) -> int:
@@ -103,6 +109,7 @@ def empty_graph(node_capacity: int, edge_capacity: int) -> GraphState:
         num_nodes=jnp.zeros((), dtype=jnp.int32),
         num_edges=jnp.zeros((), dtype=jnp.int32),
         diff_transform=lie.pose_identity(),
+        odom_params=jnp.array([1.0, 0.0, 0.0]),
     )
 
 

@@ -85,13 +85,43 @@ def _pad_pow2(D, U, b):
     return D, U, b, n
 
 
-def _dense_root_inverse(Dk: jax.Array, Uk: jax.Array) -> jax.Array:
+def newton_schulz_inverse(A: jax.Array, iters: int = 16) -> jax.Array:
+    """Approximate inverse of an SPD matrix by Newton-Schulz iteration.
+
+    X ← X(2I − AX), initialized at Aᵀ/(‖A‖₁‖A‖∞) (guaranteed convergent).
+    Pure dense matmuls — under vmap every instance shares the SAME batched
+    matmul kernels, whereas XLA's LU/Cholesky custom calls serialize per
+    vmapped instance on TPU.  Falls back to the diagonal inverse if the
+    iteration diverges (preconditioner-grade accuracy suffices).
+    """
+    k = A.shape[0]
+    a1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    ainf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X = A.T / jnp.maximum(a1 * ainf, 1e-12)
+    eye = jnp.eye(k, dtype=A.dtype)
+
+    def body(X, _):
+        return X @ (2.0 * eye - A @ X), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    ok = jnp.all(jnp.isfinite(X))
+    dinv = jnp.diag(1.0 / jnp.maximum(jnp.diagonal(A), 1e-12))
+    return jnp.where(ok, X, dinv)
+
+
+def _dense_root_inverse(Dk: jax.Array, Uk: jax.Array,
+                        root_ns: bool = False) -> jax.Array:
     """Dense inverse of the remaining (m·6)×(m·6) block-tridiagonal system.
 
     Cyclic reduction's deepest levels run batches too small to fill the
     VPU — each is a latency-bound kernel, and there are 2·log2(m) of them
     per CG substitution.  Cutting over to ONE dense inverse (MXU matmul
     shapes) replaces all of them with a single matvec per apply.
+
+    ``root_ns``: invert via Newton-Schulz (batched matmuls) instead of LU
+    — the fleet path's choice, since vmapped LU serializes per instance on
+    TPU while NS matmuls batch across the whole fleet.  NS is approximate
+    (preconditioner-grade), which only costs CG convergence rate.
     """
     m = Dk.shape[0]
     if m == 1:
@@ -107,10 +137,13 @@ def _dense_root_inverse(Dk: jax.Array, Uk: jax.Array) -> jax.Array:
         A = A.at[idx[1:], :, idx[:-1], :].set(jnp.swapaxes(Uk[: m - 1], -1, -2))
     A = A.reshape(m * 6, m * 6)
     A = A + 1e-8 * jnp.eye(m * 6, dtype=Dk.dtype)
+    if root_ns:
+        return newton_schulz_inverse(A)
     return jnp.linalg.inv(A)
 
 
-def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64):
+def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64,
+                         root_ns: bool = False):
     """Cyclic-reduction 'factorization' of a symmetric block-tridiagonal A.
 
     D: (n, 6, 6) diagonal blocks; U: (n, 6, 6) with U[i] = A[i, i+1]
@@ -156,7 +189,7 @@ def block_tridiag_factor(D: jax.Array, U: jax.Array, dense_cutoff: int = 64):
         levels.append((Dinv_o, P1m, P2, G1, G2))
         Dk, Uk = newD, newU
 
-    root_inv = _dense_root_inverse(Dk, Uk)
+    root_inv = _dense_root_inverse(Dk, Uk, root_ns=root_ns)
     # tuple: the factor is carried through lax.while_loop by the solver's
     # early-exit path, so its pytree structure must be hashable/stable
     return (tuple(levels), root_inv, n_orig)

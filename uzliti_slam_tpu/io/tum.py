@@ -207,7 +207,10 @@ def load_sequence(root: str, max_frames: int | None = None, stride: int = 1):
     # camera listeners (feature_extraction_service_node.h:44-58).
     from uzliti_slam_tpu.runtime import native
 
-    ahead = 4
+    # 16 frames ahead: the consumer ingests CHUNKS (8 frames per dispatch),
+    # so decode must stay ahead of a whole chunk for IO to overlap device
+    # compute instead of stalling at each chunk boundary
+    ahead = 16
     pf = native.FramePrefetcher(n_threads=2, capacity=ahead + 2,
                                 max_pixels=1 << 21)
     try:

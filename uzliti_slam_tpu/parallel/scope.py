@@ -64,6 +64,12 @@ class GraphDelta(NamedTuple):
     n_points: jax.Array | None = None      # (Dn, F, 3) base-frame keypoints
     n_scan: jax.Array | None = None        # (Dn, B) virtual-scan ranges
     n_scan_valid: jax.Array | None = None  # (Dn,)
+    # --- calibration meta (optional) ---
+    # Graph.msg ships sensor_transforms[] + odometry_parameters with every
+    # delta, adopted on receipt (``graph_slam_msgs/msg/Graph.msg:1-10``,
+    # ``graph_slam_node.cpp:523-529``)
+    sensor_transforms: jax.Array | None = None  # (S, 7) camera extrinsics
+    odom_params: jax.Array | None = None        # (3,) drift model params
 
 
 class Ack(NamedTuple):
@@ -107,13 +113,15 @@ def make_delta(
     scans: jax.Array | None = None,
     scan_valid: jax.Array | None = None,
     feat_budget: int | None = None,
+    sensor_transforms: jax.Array | None = None,
 ) -> GraphDelta:
     """Pack up to (max_nodes, max_edges) un-ACKed valid entries.
 
     Pass the per-node sensor banks to ship full sensor payloads (the
     reference's Node.msg SensorDataArray); ``feat_budget`` caps the
     descriptor rows per node (banks are response-ordered, so the slice
-    keeps the strongest features)."""
+    keeps the strongest features).  ``sensor_transforms`` (and the graph's
+    ``odom_params``) ride along as the Graph.msg calibration meta."""
     n_sel = jnp.nonzero(
         g.node_valid & ~ship.node_acked, size=max_nodes, fill_value=-1
     )[0]
@@ -138,8 +146,11 @@ def make_delta(
         payload["n_scan"] = scans[ns]
         payload["n_scan_valid"] = scan_valid[ns] & npresent
 
+    if sensor_transforms is not None:
+        payload["sensor_transforms"] = sensor_transforms
     return GraphDelta(
         **payload,
+        odom_params=g.odom_params,
         n_uid=jnp.where(npresent, g.node_uid[ns], -1),
         n_pose=g.pose[ns],
         n_odom_pose=g.odom_pose[ns],
@@ -227,6 +238,11 @@ def apply_delta(g: GraphState, delta: GraphDelta) -> tuple[GraphState, Ack]:
         return gg, applied
 
     g, edge_applied = jax.lax.scan(edge_body, g, jnp.arange(delta.e_type.shape[0]))
+
+    # adopt shipped calibration meta (graph_slam_node.cpp:523-529); the
+    # shipping instance's calibration is the authority for its deltas
+    if delta.odom_params is not None:
+        g = g._replace(odom_params=delta.odom_params)
 
     ack = Ack(
         node_uids=acked_nodes,

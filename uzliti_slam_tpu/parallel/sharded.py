@@ -129,9 +129,16 @@ def optimize_batch(
         lambda _: NamedSharding(mesh, P(axis_name)), graphs
     )
     graphs = jax.device_put(graphs, batch_sharding)
-    # Full cyclic reduction for the chain preconditioner: the dense-root
-    # LU inverse is serialized per vmapped instance on TPU, while the
-    # cutoff=1 path is pure batched 6x6 arithmetic across the whole fleet.
-    config = dataclasses.replace(config, chain_dense_cutoff=1)
+    # Fleet preconditioner default: 2 cyclic-reduction levels (cutoff 16)
+    # with a Newton-Schulz dense-root inverse — the root stays pure
+    # batched matmuls (vmapped LU serializes per instance on TPU) while
+    # the level count stops being the sequential-latency bound that full
+    # reduction's log2(N) levels are.  Applied only when the caller left
+    # the field at its default — an explicit cutoff (CPU/debug fleets) is
+    # honored.
+    if config.chain_dense_cutoff == SolverConfig().chain_dense_cutoff:
+        config = dataclasses.replace(
+            config, chain_dense_cutoff=16, chain_root_ns=True
+        )
     solve_one = lambda gr: solver.optimize(gr, config)[0]
     return jax.jit(jax.vmap(solve_one))(graphs)

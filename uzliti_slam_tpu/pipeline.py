@@ -42,6 +42,15 @@ _project_map_jit = partial(
 )(occupancy.project)
 
 
+@partial(jax.jit, static_argnames=("iterations",))
+def _calibrate_jit(g, sensor_transforms, sensor_idx, iterations):
+    from uzliti_slam_tpu.graph import calibration
+
+    return calibration.calibrate(
+        g, sensor_transforms, sensor_idx, sensor_idx, iterations=iterations
+    )
+
+
 class Keyframe(NamedTuple):
     image: jax.Array      # (H, W) grayscale f32
     depth: jax.Array      # (H, W) metric depth f32 (0 = invalid)
@@ -608,6 +617,7 @@ def process_frame_chunk(
     cam: cam_mod.PinholeCamera,
     cam_pose: jax.Array,
     config: SlamConfig = SlamConfig(),
+    due: jax.Array | None = None,
 ) -> tuple[SlamState, dict]:
     """Ingest a CHUNK of raw frames in one device dispatch.
 
@@ -621,16 +631,26 @@ def process_frame_chunk(
     just as well — prefer ``Slam.add_frame`` there, since ``lax.scan``
     serializes what the async dispatch queue would otherwise overlap.
 
+    ``due``: optional (T,) bool mask precomputed by the HOST gate
+    (``Slam.add_frames``) — the same 0.3 m / 10° test on the same odometry,
+    hoisted off-device so the caller needs no device round trip per chunk
+    to know how many keyframes landed (the r4→r5 30 Hz fix: the per-chunk
+    ``inserted`` fetch serialized dispatch against execution).
+
     Returns (state, infos) where each info leaf has leading axis T and an
     extra ``inserted`` (T,) bool mask.
     """
     kc = config.keyframe
 
-    def step(st: SlamState, kf: Keyframe):
-        due = (st.n_keyframes == 0) | lifecycle.keyframe_due(
-            st.last_kf_odom, kf.odom_pose,
-            kc.new_node_distance, kc.new_node_angle_deg,
-        )
+    def step(st: SlamState, xs):
+        kf, due_i = xs
+        if due_i is None:
+            due_v = (st.n_keyframes == 0) | lifecycle.keyframe_due(
+                st.last_kf_odom, kf.odom_pose,
+                kc.new_node_distance, kc.new_node_angle_deg,
+            )
+        else:
+            due_v = due_i
 
         def do(st):
             st2, info = _keyframe_body(st, kf, cam, cam_pose, config)
@@ -649,9 +669,9 @@ def process_frame_chunk(
                 "inserted": jnp.asarray(False),
             }
 
-        return jax.lax.cond(due, do, skip, st)
+        return jax.lax.cond(due_v, do, skip, st)
 
-    return jax.lax.scan(step, state, kfs)
+    return jax.lax.scan(step, state, (kfs, due))
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
@@ -1252,6 +1272,7 @@ class Slam:
         self.optimize_every = 10
         self.auto_grow = True
         self._since_opt = 0
+        self._epochs_since_calib = 0
         import numpy as np
         self._last_kf_odom_host = np.asarray(self.state.last_kf_odom)
         self._n_kf_host = 0
@@ -1547,14 +1568,43 @@ class Slam:
             odom_pose=jnp.asarray(odom_poses),
             stamp=jnp.asarray(stamps, jnp.float32),
         )
-        self.state, infos = process_frame_chunk(
-            self.state, kfs, self.cam, self.cam_pose, self.config
-        )
-        inserted = np.asarray(infos["inserted"])
-        n_new = int(inserted.sum())
-        if n_new:
-            last = int(np.nonzero(inserted)[0][-1])
-            self._last_kf_odom_host = np.asarray(odom_poses[last])
+        # HOST keyframe gate (same 0.3 m / 10° test the device would run,
+        # sequential over the chunk): passing the mask down means the chunk
+        # result is never fetched on the hot path, so dispatches pipeline —
+        # chunk N+1 is built and enqueued while N still executes. Capacity
+        # is guaranteed by the growth loop above, so gate == inserted; the
+        # non-growing configuration keeps the authoritative device fetch.
+        if self.auto_grow:
+            kc = self.config.keyframe
+            odoms = np.asarray(odom_poses, np.float32)
+            due = np.zeros(t, bool)
+            last_odom = self._last_kf_odom_host
+            n_kf = self._n_kf_host
+            for i in range(t):
+                d = n_kf == 0 or _keyframe_due_np(
+                    last_odom, odoms[i],
+                    kc.new_node_distance, kc.new_node_angle_deg,
+                )
+                if d:
+                    last_odom = odoms[i]
+                    n_kf += 1
+                due[i] = d
+            self.state, infos = process_frame_chunk(
+                self.state, kfs, self.cam, self.cam_pose, self.config,
+                due=jnp.asarray(due),
+            )
+            inserted = due
+            n_new = int(n_kf - self._n_kf_host)
+            self._last_kf_odom_host = last_odom
+        else:
+            self.state, infos = process_frame_chunk(
+                self.state, kfs, self.cam, self.cam_pose, self.config
+            )
+            inserted = np.asarray(infos["inserted"])
+            n_new = int(inserted.sum())
+            if n_new:
+                last = int(np.nonzero(inserted)[0][-1])
+                self._last_kf_odom_host = np.asarray(odom_poses[last])
         self._n_kf_host += n_new
         self._n_slots_host += n_new
         self._since_opt += n_new
@@ -1604,11 +1654,57 @@ class Slam:
     def optimize(self):
         self.state, stats = optimize_epoch(self.state, self.config)
         self._since_opt = 0
+        self._epochs_since_calib += 1
+        if (
+            self.config.calibrate_every > 0
+            and self._epochs_since_calib >= self.config.calibrate_every
+        ):
+            self.calibrate()
         if self.config.project_map:
             self.project_map()
         if self._db is not None:
             self._db_sync_full()
         return stats
+
+    def calibrate(self, update_extrinsics: bool = False,
+                  iterations: int = 20):
+        """Periodic calibration epoch (the reference's
+        ``SensorTransformOptimizer``, ``sensor_transform_optimizer.cpp:37-192``,
+        run live instead of offline): on the current frozen graph,
+        re-estimate the odometry drift parameters (and optionally the
+        camera extrinsics) and store them on the graph, where the next
+        ``optimize_epoch`` consumes them via
+        ``solver.use_odometry_calibration`` (``g2o_optimizer.cpp:209-227``).
+
+        ``update_extrinsics=False`` mirrors the reference's shipped
+        behavior (its sensor vertices are held fixed,
+        ``sensor_transform_optimizer.cpp:49``); pass True to also adopt
+        the refined camera extrinsics into ``self.cam_pose``.
+        """
+        from uzliti_slam_tpu.graph import calibration
+
+        g = self.state.graph
+        cam_poses = (
+            self.cam_pose if self.cam_pose.ndim == 2 else self.cam_pose[None]
+        )
+        # visual loop closures are measured through camera 0's frame pair;
+        # odometry edges carry sensor index -1 (base frame)
+        sensor_idx = jnp.where(
+            g.e_type == gstate.EDGE_TYPE_3D_FULL,
+            0 if update_extrinsics else -1,
+            -1,
+        ).astype(jnp.int32)
+        result = _calibrate_jit(
+            g, cam_poses, sensor_idx, iterations
+        )
+        self.state = self.state._replace(
+            graph=g._replace(odom_params=result.odom_params)
+        )
+        if update_extrinsics:
+            new_cp = result.sensor_transforms
+            self.cam_pose = new_cp if self.cam_pose.ndim == 2 else new_cp[0]
+        self._epochs_since_calib = 0
+        return result
 
     def project_map(self, force_full: bool = False):
         """Project the graph's virtual scans into the live occupancy grid —

@@ -121,7 +121,7 @@ def roofline(jitted, example, t, key):
     return out
 
 
-def bench_batched_instances(batch, n_nodes, lm_iters, reps):
+def bench_batched_instances(batch, n_nodes, lm_iters, reps, details=None):
     """Fleet rung: DISTINCT per-instance graphs (split PRNG keys -> each
     instance gets its own noise realization and convergence path) at the
     full 20-LM-iteration configuration — no broadcast shortcuts."""
@@ -137,17 +137,27 @@ def bench_batched_instances(batch, n_nodes, lm_iters, reps):
     for s in range(WARMUP + reps):
         keys = jax.random.split(jax.random.PRNGKey(s), batch)
         batches.append(jax.block_until_ready(make(keys)))
-    # cutoff 16 + Newton-Schulz root: 2 cyclic-reduction levels + one
-    # batched-matmul root inverse per factor. The fleet solve is bound by
-    # SEQUENTIAL op count (thousands of tiny batched kernels), not flops —
-    # trading 4 reduction levels for dense batched matmul work is the r5
-    # fleet win; vmapped LU would serialize per instance.
+    # r5 fleet configuration (each piece measured on-device):
+    # - dense_gathers: every edge gather/segment-sum as one-hot matmuls —
+    #   a vmapped fleet of tiny tables pays ~a tile access PER INDEX on
+    #   TPU (4096 x 256 rows per op), and trading that for MXU-batched
+    #   flops was the big win (507 -> 917 inst/s same-session);
+    # - cutoff 16 + Newton-Schulz root: 2 cyclic-reduction levels + a
+    #   batched-matmul root inverse (vmapped LU serializes per instance);
+    # - fixed-iteration chunked scan (early_exit=False): structural factor
+    #   refresh — under vmap a data-dependent refresh cond runs both
+    #   branches every iteration;
+    # - unroll: fuses the remaining tiny ops across iterations
+    #   (917 -> 1307 inst/s).
     cfg = solver.SolverConfig(
         iterations=lm_iters, pcg_iterations=8, chain_dense_cutoff=16,
-        chain_root_ns=True,
+        chain_root_ns=True, dense_gathers=True, early_exit=False,
+        precond_refresh=5, unroll_pcg=4, unroll_lm=5,
     )
     step = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[0].pose))
     t = timeit_distinct(step, batches)
+    if details is not None:
+        details.update(roofline(step, batches[0], t, "fleet"))
     # convergence honesty: mean final chi2 across the fleet (distinct
     # noise realizations -> compare across rounds at equal config)
     stats = jax.jit(jax.vmap(lambda gr: solver.optimize(gr, cfg)[1]))(batches[0])
@@ -327,7 +337,7 @@ def bench_ate(n_frames=48):
     return ate_slam, ate_odom
 
 
-def bench_epoch_500_rgbd_laser(reps=5):
+def bench_epoch_500_rgbd_laser(reps=5, details=None):
     """500-node RGBD+laser optimization epoch: visual closures + laser
     edges routed through the cluster filter + chain-preconditioned solve —
     the BASELINE ladder's mid rung, timed as the full jitted epoch."""
@@ -375,7 +385,10 @@ def bench_epoch_500_rgbd_laser(reps=5):
         return st2.graph.pose
 
     compiled = jax.jit(lambda st: epoch(st))
-    return timeit_distinct(compiled, states)
+    t = timeit_distinct(compiled, states)
+    if details is not None:
+        details.update(roofline(compiled, states[0], t, "epoch_500"))
+    return t
 
 
 def main():
@@ -418,6 +431,10 @@ def main():
     details["solve_1k_woodbury_ms"] = round(1e3 * t, 2)
     details["solve_1k_woodbury_chi2"] = round(chi2, 2)
 
+    # jacobi rung is DIAGNOSTIC-ONLY: block-Jacobi needs O(N) CG steps to
+    # move information along the odometry chain, so its chi2 at a 32-step
+    # budget is structurally far from converged (~7x chain's). No product
+    # path selects it; it exists to show what the chain preconditioner buys.
     t, chi2 = bench_solver(1000, 20, 32, reps=10, preconditioner="jacobi")
     details["solve_1k_jacobi_20x32_ms"] = round(1e3 * t, 2)
     details["solve_1k_jacobi_chi2"] = round(chi2, 2)
@@ -437,7 +454,7 @@ def main():
     details["keyframe_2cam_hz"] = round(1.0 / t, 2)
 
     # epoch rung: 500-node RGBD+laser (filter + solve as one dispatch)
-    t = bench_epoch_500_rgbd_laser(reps=5)
+    t = bench_epoch_500_rgbd_laser(reps=5, details=details)
     details["epoch_500_rgbd_laser_ms"] = round(1e3 * t, 2)
     details["epoch_500_rgbd_laser_hz"] = round(1.0 / t, 2)
 
@@ -478,7 +495,7 @@ def main():
     )
 
     # fleet rung: 4096 DISTINCT instances at the full 20-iteration config
-    t, fleet_chi2 = bench_batched_instances(4096, 64, 20, reps=3)
+    t, fleet_chi2 = bench_batched_instances(4096, 64, 20, reps=3, details=details)
     details["batched_4096x64n_20it_ms"] = round(1e3 * t, 2)
     details["batched_instance_solves_per_sec"] = round(4096 / t, 0)
     details["batched_fleet_mean_chi2"] = round(fleet_chi2, 3)

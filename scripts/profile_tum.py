@@ -49,11 +49,11 @@ def main():
     slam = pipeline.Slam(cfg, cam=cam, cam_pose=simulator.cam_extrinsic())
     slam.optimize_every = 50
 
-    t = dict(load=0.0, build=0.0, dispatch=0.0, sync=0.0, opt=0.0)
-    buf = []
+    t = dict(load=0.0, build=0.0, dispatch=0.0, opt=0.0)
     n = 0
     t_all0 = time.perf_counter()
     t_warm = None
+    slam.optimize_every = 10**9  # opt timed separately below
 
     it = tum.load_sequence(ROOT, max_frames=N)
     while True:
@@ -62,27 +62,21 @@ def main():
         t["load"] += time.perf_counter() - t0
         if fr is None:
             break
-        buf.append(fr)
         n += 1
-        if len(buf) >= CHUNK:
+        t0 = time.perf_counter()
+        img = np.asarray(fr["image"], np.uint8)
+        dep = (np.asarray(fr["depth"]) * 1e3).astype(np.uint16)
+        t["build"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slam.enqueue_frame(img, dep, fr["odom_pose"], fr["stamp"], chunk=CHUNK)
+        t["dispatch"] += time.perf_counter() - t0
+        if slam._since_opt >= 50:
             t0 = time.perf_counter()
-            images = np.stack([f["image"] for f in buf]).astype(np.uint8)
-            depths = (np.stack([f["depth"] for f in buf]) * 1e3).astype(np.uint16)
-            odoms = np.stack([f["odom_pose"] for f in buf])
-            stamps = np.asarray([f["stamp"] for f in buf], np.float32)
-            t["build"] += time.perf_counter() - t0
-
-            t0 = time.perf_counter()
-            slam.optimize_every = 10**9  # opt timed separately below
-            slam.add_frames(images, depths, odoms, stamps)
-            t["dispatch"] += time.perf_counter() - t0
-            if slam._since_opt >= 50:
-                t0 = time.perf_counter()
-                slam.optimize()
-                t["opt"] += time.perf_counter() - t0
-            buf = []
-            if t_warm is None:
-                t_warm = time.perf_counter()
+            slam.optimize()
+            t["opt"] += time.perf_counter() - t0
+        if t_warm is None and slam._n_kf_host >= CHUNK:
+            t_warm = time.perf_counter()
+    slam.flush_frames(CHUNK)
     t0 = time.perf_counter()
     jax.block_until_ready(slam.state.graph.pose)
     t["final_block"] = time.perf_counter() - t0

@@ -2,6 +2,8 @@
 parity (SURVEY.md §7 phase 3: 'Validate ATE/chi2 against g2o on replayed
 graphs' — here the oracle is a dense numpy Gauss-Newton)."""
 
+import dataclasses
+
 import jax
 import pytest
 import jax.numpy as jnp
@@ -323,3 +325,45 @@ class TestOracleParityAtScale:
         our_chi2 = float(solver.total_chi2(g, g2.pose, 1.0))
         assert np.isfinite(our_chi2)
         assert our_chi2 <= ref_chi2 * 1.10 + 1e-3, (our_chi2, ref_chi2)
+
+
+class TestDenseGathers:
+    """dense_gathers one-hot matmul form must match indexed gathers."""
+
+    def test_dense_matches_indexed(self):
+        from uzliti_slam_tpu.io import synthetic
+
+        g, _ = synthetic.make_pose_graph(
+            jax.random.PRNGKey(3), 48, loop_closure_every=8
+        )
+        base = solver.SolverConfig(iterations=6, pcg_iterations=8,
+                                   chain_dense_cutoff=16, chain_root_ns=True,
+                                   early_exit=False)
+        dense = dataclasses.replace(base, dense_gathers=True)
+        g_a, st_a = solver.optimize(g, base)
+        g_b, st_b = solver.optimize(g, dense)
+        # one-hot selection at HIGHEST precision is numerically the same
+        # computation — histories must agree to float accumulation noise
+        np.testing.assert_allclose(
+            np.asarray(st_b.chi2_history), np.asarray(st_a.chi2_history),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_b.pose), np.asarray(g_a.pose), atol=1e-3
+        )
+
+    def test_fixed_iteration_fast_path_matches_generic(self):
+        from uzliti_slam_tpu.io import synthetic
+
+        g, _ = synthetic.make_pose_graph(
+            jax.random.PRNGKey(4), 48, loop_closure_every=8
+        )
+        fast = solver.SolverConfig(iterations=6, pcg_iterations=8,
+                                   early_exit=False, precond_refresh=3)
+        generic = dataclasses.replace(fast, mode="pcg")
+        _, st_fast = solver.optimize(g, fast)
+        _, st_gen = solver.optimize(g, generic)
+        np.testing.assert_allclose(
+            np.asarray(st_fast.chi2_history),
+            np.asarray(st_gen.chi2_history), rtol=1e-4,
+        )

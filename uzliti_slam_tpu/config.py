@@ -5,18 +5,95 @@ dynamic_reconfigure groups, SURVEY.md §5): one frozen dataclass per
 subsystem, matching the reference's parameter groups —
 GraphSlam (``graph_slam/cfg/GraphSlam.cfg``), GraphOptimizer,
 FeatureLinkEstimation, PlaceRecognizer, OccupancyGridProjector,
-FeatureExtraction. All values are live-swappable between jitted steps
-(they are static args; changing them recompiles, the analog of a
-dynamic_reconfigure callback restarting timers).
+FeatureExtraction.
+
+Numeric GATE parameters additionally live in ``Tunables`` — device
+scalars inside ``SlamState`` that ``Slam.set_param`` retunes mid-run
+with no recompilation (the dynamic_reconfigure analog).  The remaining
+dataclass values are static jit args; changing them recompiles, the
+analog of a dynamic_reconfigure callback restarting timers.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import typing
+
+import jax
 
 from uzliti_slam_tpu.graph.filter import FilterConfig
 from uzliti_slam_tpu.graph.solver import SolverConfig
 from uzliti_slam_tpu.mapping.occupancy import GridConfig
+
+
+class Tunables(typing.NamedTuple):
+    """Live-retunable thresholds, carried as DEVICE SCALARS in SlamState.
+
+    The reference live-tunes ~40 params through dynamic_reconfigure
+    (``graph_slam/cfg/GraphSlam.cfg:9-34`` + the per-subsystem cfg groups,
+    config callbacks ``graph_slam_node.cpp:1087-1116``).  Here the
+    numeric GATES among them are dynamic jit operands instead of static
+    trace constants, so ``Slam.set_param`` changes them mid-run with ZERO
+    recompilation.  Shape-determining params (budgets, capacities,
+    iteration counts, method selection) stay static — changing those
+    re-specializes the compiled step, exactly as the reference's
+    restart-requiring params do.  Timer cadences and the keyframe gate
+    are host-side attributes (already recompile-free).
+    """
+
+    # feature extraction (FeatureExtraction.cfg)
+    fast_threshold: jax.Array
+    # place recognition gates (PlaceRecognizer.cfg)
+    gist_max_dist: jax.Array
+    feature_hamming_thresh: jax.Array
+    min_similarity: jax.Array
+    min_time_separation: jax.Array
+    min_descriptors: jax.Array
+    repo_min_votes: jax.Array
+    bow_min_score: jax.Array
+    # edge estimation gates (FeatureLinkEstimation.cfg)
+    match_ratio: jax.Array
+    max_match_distance: jax.Array
+    ransac_inlier_thresh: jax.Array
+    ransac_min_sigma: jax.Array
+    min_consensus: jax.Array
+    min_matching_score: jax.Array
+    max_edge_translation: jax.Array
+    max_edge_rotation_deg: jax.Array
+    icp_max_corr: jax.Array
+    icp_min_valid_fraction: jax.Array
+    gicp_max_corr: jax.Array
+    pnp_reproj_px: jax.Array
+
+
+def tunables_from_config(cfg: "SlamConfig") -> Tunables:
+    """Initialize the dynamic scalars from the static config defaults."""
+    import jax.numpy as jnp
+
+    fc, rc, ec = cfg.frontend, cfg.recognition, cfg.estimation
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return Tunables(
+        fast_threshold=f(fc.fast_threshold),
+        gist_max_dist=f(rc.gist_max_dist),
+        feature_hamming_thresh=f(rc.feature_hamming_thresh),
+        min_similarity=f(rc.min_similarity),
+        min_time_separation=f(rc.min_time_separation),
+        min_descriptors=f(rc.min_descriptors),
+        repo_min_votes=f(rc.repo_min_votes),
+        bow_min_score=f(rc.bow_min_score),
+        match_ratio=f(ec.match_ratio),
+        max_match_distance=f(ec.max_match_distance),
+        ransac_inlier_thresh=f(ec.ransac_inlier_thresh),
+        ransac_min_sigma=f(ec.ransac_min_sigma),
+        min_consensus=f(ec.min_consensus),
+        min_matching_score=f(ec.min_matching_score),
+        max_edge_translation=f(ec.max_edge_translation),
+        max_edge_rotation_deg=f(ec.max_edge_rotation_deg),
+        icp_max_corr=f(ec.icp_max_corr),
+        icp_min_valid_fraction=f(ec.icp_min_valid_fraction),
+        gicp_max_corr=f(ec.gicp_max_corr),
+        pnp_reproj_px=f(ec.pnp_reproj_px),
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,24 +65,44 @@ def run_tum_sequence(
     slam = pipeline.Slam(cfg, cam=cam, cam_pose=simulator.cam_extrinsic())
     slam.optimize_every = optimize_every
 
+    # Prewarm the epoch programs on a THROWAWAY state (same static shapes
+    # -> same compiled executables): the first optimize would otherwise
+    # compile mid-stream and stall the live loop for tens of seconds on a
+    # tunneled TPU. The reference pays its equivalent cost at process
+    # startup (plugin/solver construction), not mid-run.
+    import jax as _jax
+
+    from uzliti_slam_tpu.mapping import occupancy as _occ
+
+    _throw = pipeline.init_state(cfg)
+    _throw, _ = pipeline.optimize_epoch(_throw, cfg)
+    if cfg.project_map:
+        _grid = _occ.grid_init(_throw.graph, cfg.grid)
+        for _ff in (True, False):
+            _grid = pipeline._project_map_jit(
+                _grid, _throw.graph, _throw.scans, _throw.scan_valid,
+                cfg.grid, force_full=_ff,
+            )
+    _jax.block_until_ready(_throw.graph.pose)
+
     gt_by_stamp: dict[float, np.ndarray] = {}
     odo_by_stamp: dict[float, np.ndarray] = {}
     n_frames = 0
-    buf: list[dict] = []
     t0 = time.perf_counter()
     t_first = None
 
-    def flush(buf):
-        if not buf:
-            return
-        # native sensor dtypes: uint8 mono + uint16 millimeter depth — the
-        # keyframe body accepts them directly, and the host->device
-        # transfer shrinks ~2.7x vs float32 (the tunneled-TPU hot cost)
-        slam.add_frames(
-            np.stack([f["image"] for f in buf]).astype(np.uint8),
-            (np.stack([f["depth"] for f in buf]) * 1e3).astype(np.uint16),
-            np.stack([f["odom_pose"] for f in buf]),
-            np.asarray([f["stamp"] for f in buf], np.float32),
+    def push(fr):
+        # gate BEFORE transfer (enqueue_frame): non-keyframes never cross
+        # the host->device wire — the reference's SensorRequest policy.
+        # Native sensor dtypes: uint8 mono + uint16 millimeter depth — the
+        # keyframe body accepts them directly, and the transfer shrinks
+        # ~2.7x vs float32 (the tunneled-TPU hot cost).
+        return slam.enqueue_frame(
+            np.asarray(fr["image"], np.uint8),
+            (np.asarray(fr["depth"]) * 1e3).astype(np.uint16),
+            np.asarray(fr["odom_pose"]),
+            np.float32(fr["stamp"]),
+            chunk=chunk,
         )
 
     for fr in tum.load_sequence(root, max_frames=max_frames, stride=stride):
@@ -95,21 +115,18 @@ def run_tum_sequence(
         if fr["gt_pose"] is not None:
             gt_by_stamp[key] = np.asarray(fr["gt_pose"])
         odo_by_stamp[key] = np.asarray(fr["odom_pose"])
-        buf.append(fr)
+        push(fr)
         n_frames += 1
-        if len(buf) >= chunk:
-            flush(buf)
-            buf = []
-            if t_first is None:
-                t_first = time.perf_counter()  # compile done after chunk 1
-            if progress and n_frames % (chunk * 16) == 0:
-                g = slam.state.graph
-                print(
-                    f"  frame {n_frames}: {int(g.num_nodes)} nodes "
-                    f"{int(g.num_edges)} edges "
-                    f"({time.perf_counter() - t0:.0f}s)"
-                )
-    flush(buf)
+        if t_first is None and slam._n_kf_host >= chunk:
+            t_first = time.perf_counter()  # compile done after chunk 1
+        if progress and n_frames % (chunk * 16) == 0:
+            g = slam.state.graph
+            print(
+                f"  frame {n_frames}: {int(g.num_nodes)} nodes "
+                f"{int(g.num_edges)} edges "
+                f"({time.perf_counter() - t0:.0f}s)"
+            )
+    slam.flush_frames(chunk)
     # Final polish: the reference keeps re-optimizing on a timer after
     # playback ends (optimizationTimerCallback at optimize_graph_freq); a
     # few extra epochs on the complete graph are the offline equivalent

@@ -51,7 +51,14 @@ class SolverConfig:
                                   # reduction over the odometry spine —
                                   # default: strictly stronger than jacobi,
                                   # since U degrades to 0 without a spine)
-                                  # | "jacobi"
+                                  # | "woodbury" (chain + low-rank closure
+                                  # correction — faster wall-clock, weaker
+                                  # chi2 at equal budgets; see bench notes)
+                                  # | "jacobi" (DIAGNOSTIC-ONLY: needs
+                                  # O(N) CG steps to move information
+                                  # along the chain, so it under-converges
+                                  # at any practical budget; no product
+                                  # path selects it)
     precond_refresh: int = 5      # LM iterations between chain re-factors.
                                   # A stale (previous-linearization) factor
                                   # is still SPD, so PCG stays correct — it
@@ -127,6 +134,19 @@ class SolverConfig:
                                   # across iterations and drop While-loop
                                   # bookkeeping. Costs compile time.
     unroll_pcg: int = 1           # same for the inner CG fori_loop.
+    dense_gathers: bool = False   # replace EVERY edge gather / segment-
+                                  # sum with one-hot matmuls (E,N one-hot
+                                  # selection matrices, built once per
+                                  # solve from the static topology). TPU
+                                  # row gathers/scatters cost ~a tile
+                                  # access per index, which dominates a
+                                  # vmapped FLEET of tiny solves (4096 x
+                                  # 256-edge tables = 1M indexed rows per
+                                  # op); the one-hot matmul form trades
+                                  # that for MXU-batched flops. Memory is
+                                  # O(E*N) per instance — use for small
+                                  # graphs (<=128 nodes); exact at
+                                  # HIGHEST matmul precision.
     woodbury_ns_iters: int = 20   # Newton-Schulz iterations for the
                                   # explicit K×K inverse inside the
                                   # "woodbury" preconditioner (pure
@@ -284,26 +304,56 @@ def _hessian_diag_blocks(g: GraphState, Ji, Jj, W, reduce=_identity_reduce) -> j
 
 
 def _make_hvp(g: GraphState, Ji, Jj, W, damp: jax.Array, free: jax.Array,
-              reduce=_identity_reduce):
+              reduce=_identity_reduce, edge_ops=None):
     """Matrix-free (H + λ·diag) @ v, rows/cols masked to free nodes."""
-    n = g.node_capacity
-    ef, et = g.e_from, g.e_to
+    if edge_ops is None:
+        edge_ops = _make_edge_ops(g, False)
+    gath_from, gath_to, scat_from, scat_to = edge_ops
 
     def hvp(v):
         vm = v * free[:, None]
-        u = jnp.einsum("eij,ej->ei", Ji, vm[ef], precision=_PREC) + jnp.einsum("eij,ej->ei", Jj, vm[et], precision=_PREC)
+        u = jnp.einsum("eij,ej->ei", Ji, gath_from(vm), precision=_PREC) + jnp.einsum("eij,ej->ei", Jj, gath_to(vm), precision=_PREC)
         Wu = jnp.einsum("eij,ej->ei", W, u, precision=_PREC)
         yi = jnp.einsum("eji,ej->ei", Ji, Wu, precision=_PREC)
         yj = jnp.einsum("eji,ej->ei", Jj, Wu, precision=_PREC)
-        y = jax.ops.segment_sum(yi, ef, num_segments=n)
-        y = reduce(y + jax.ops.segment_sum(yj, et, num_segments=n))
+        y = reduce(scat_from(yi) + scat_to(yj))
         return (y + damp * vm) * free[:, None]
 
     return hvp
 
 
+def _make_edge_ops(g: GraphState, dense: bool):
+    """Gather/scatter primitives over the edge table.
+
+    ``dense=False``: indexed gathers + ``segment_sum`` (the right form for
+    ONE large graph).  ``dense=True``: one-hot (E, N) selection matrices
+    built once from the static topology; every gather/scatter becomes an
+    MXU matmul — the FLEET form, where a vmapped batch of tiny tables
+    makes per-index tile accesses the dominant cost (see
+    ``SolverConfig.dense_gathers``).  One-hot selection is exact; matmuls
+    run at HIGHEST precision so gathered VALUES keep f32 accuracy.
+    """
+    n = g.node_capacity
+    if not dense:
+        return (
+            lambda x: x[g.e_from],
+            lambda x: x[g.e_to],
+            lambda p: jax.ops.segment_sum(p, g.e_from, num_segments=n),
+            lambda p: jax.ops.segment_sum(p, g.e_to, num_segments=n),
+        )
+    ids = jnp.arange(n, dtype=g.e_from.dtype)
+    Sf = (g.e_from[:, None] == ids[None, :]).astype(g.pose.dtype)
+    St = (g.e_to[:, None] == ids[None, :]).astype(g.pose.dtype)
+    return (
+        lambda x: jnp.einsum("en,np->ep", Sf, x, precision=_PREC),
+        lambda x: jnp.einsum("en,np->ep", St, x, precision=_PREC),
+        lambda p: jnp.einsum("en,ep->np", Sf, p, precision=_PREC),
+        lambda p: jnp.einsum("en,ep->np", St, p, precision=_PREC),
+    )
+
+
 def _make_fused_linearize(g: GraphState, free: jax.Array, config: SolverConfig,
-                          adj_meas_inv: jax.Array):
+                          adj_meas_inv: jax.Array, edge_ops=None):
     """Factory for the fused linearization used by the fast/direct paths.
 
     Returns ``linearize(r) -> (Ji, Jj, W, grad, Hblocks, U)`` computing the
@@ -317,6 +367,9 @@ def _make_fused_linearize(g: GraphState, free: jax.Array, config: SolverConfig,
     is_chain_w = ((g.e_to == g.e_from + 1) & g.e_valid).astype(dt)
     both_free = (free[:, None, None] > 0) & (jnp.roll(free, -1)[:, None, None] > 0)
     cmask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0], dt)
+    if edge_ops is None:
+        edge_ops = _make_edge_ops(g, False)
+    _, _, scat_from, scat_to = edge_ops
 
     def linearize(r):
         W = _weighted_info(g, r, config.huber_delta)
@@ -340,8 +393,8 @@ def _make_fused_linearize(g: GraphState, free: jax.Array, config: SolverConfig,
             [gi, Hii.reshape(E, 36), Uc.reshape(E, 36)], axis=1
         )
         pt = jnp.concatenate([gj, Hjj.reshape(E, 36)], axis=1)
-        sf = jax.ops.segment_sum(pf, g.e_from, num_segments=n)
-        st = jax.ops.segment_sum(pt, g.e_to, num_segments=n)
+        sf = scat_from(pf)
+        st = scat_to(pt)
         grad = (sf[:, :6] + st[:, :6]) * free[:, None]
         Hb = (sf[:, 6:42] + st[:, 6:42]).reshape(n, 6, 6)
         U = sf[:, 42:].reshape(n, 6, 6) * both_free
@@ -723,7 +776,9 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
         ccap = max(int(config.closure_fraction * g.edge_capacity), 64)
         closure = closure_partition(g, min(ccap, g.edge_capacity))
 
-    linearize = _make_fused_linearize(g, free, config, adj_meas_inv)
+    edge_ops = _make_edge_ops(g, config.dense_gathers and not use_split)
+    gath_from, gath_to = edge_ops[0], edge_ops[1]
+    linearize = _make_fused_linearize(g, free, config, adj_meas_inv, edge_ops)
 
     use_wb = config.preconditioner == "woodbury"
     if use_wb:
@@ -851,7 +906,7 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
         if use_split:
             hvp = _make_split_hvp(g, Ji, Jj, W, Hb, U, closure, damp, free)
         else:
-            hvp = _make_hvp(g, Ji, Jj, W, damp, free)
+            hvp = _make_hvp(g, Ji, Jj, W, damp, free, edge_ops=edge_ops)
         apply_minv = lambda rr: pack_apply(pack, rr)
         if config.optimize_xy_only:
             base_hvp, base_minv = hvp, apply_minv
@@ -864,7 +919,7 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
 
         cand = lie.pose_retract(poses, dx)
         r_cand = factors.batched_residuals(
-            cand[g.e_from], cand[g.e_to], g.e_transform
+            gath_from(cand), gath_to(cand), g.e_transform
         )
         chi2_new = _robust_chi2_from_r(g, r_cand, config.huber_delta)
         accept = chi2_new < chi2_cur
@@ -891,6 +946,71 @@ def _lm_loop_fast(g: GraphState, free: jax.Array, config: SolverConfig,
         stale_next = jnp.where(accept, stale + 1, refresh)
         return (it + 1, poses, r, lam_next, chi2_cur, pack, stale_next,
                 hist, acc, done)
+
+    if not config.early_exit:
+        # Fixed-iteration form for FLEETS: under vmap a data-dependent
+        # refresh cond runs both branches every iteration and a while_loop
+        # runs to the slowest lane anyway — a structural chunked scan
+        # (factor ONCE per refresh chunk, no conds) is strictly cheaper
+        # and keeps the r4 fixed-20 semantics.
+        def chunk(carry, chunk_idx):
+            poses_c, r_c, lam_c, chi2_c = carry
+            Ji, Jj, W, _, Hb, U = linearize(r_c)
+            damp_c = lam_c * jnp.maximum(jax.vmap(jnp.diag)(Hb), 1e-6)
+            pack_c = build_pack(Ji, Jj, W, Hb, U, damp_c)
+
+            def inner(c2, step_idx):
+                poses, r, lam, chi2_cur = c2
+                Ji, Jj, W, grad, Hb, U = linearize(r)
+                damp = lam * jnp.maximum(jax.vmap(jnp.diag)(Hb), 1e-6)
+                if use_split:
+                    hvp = _make_split_hvp(g, Ji, Jj, W, Hb, U, closure,
+                                          damp, free)
+                else:
+                    hvp = _make_hvp(g, Ji, Jj, W, damp, free,
+                                    edge_ops=edge_ops)
+                apply_minv = lambda rr: pack_apply(pack_c, rr)
+                grad_m = grad
+                if config.optimize_xy_only:
+                    base_hvp, base_minv = hvp, apply_minv
+                    hvp = lambda v: base_hvp(v * cmask) * cmask
+                    apply_minv = lambda rr: base_minv(rr * cmask) * cmask
+                    grad_m = grad * cmask
+                dx = _pcg(hvp, apply_minv, -grad_m, config.pcg_iterations,
+                          config.pcg_tol, unroll=config.unroll_pcg)
+                dx = dx * free[:, None]
+                cand = lie.pose_retract(poses, dx)
+                r_cand = factors.batched_residuals(
+                    gath_from(cand), gath_to(cand), g.e_transform
+                )
+                chi2_new = _robust_chi2_from_r(g, r_cand, config.huber_delta)
+                do = step_idx < config.iterations
+                accept = (chi2_new < chi2_cur) & do
+                poses = jnp.where(accept, cand, poses)
+                r = jnp.where(accept, r_cand, r)
+                chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+                lam_next = jnp.clip(
+                    jnp.where(accept, lam / config.lambda_factor,
+                              lam * config.lambda_factor),
+                    config.lambda_min, config.lambda_max,
+                )
+                lam = jnp.where(do, lam_next, lam)
+                return (poses, r, lam, chi2_cur), (chi2_cur, accept)
+
+            steps = chunk_idx * refresh + jnp.arange(refresh)
+            return jax.lax.scan(
+                inner, carry, steps,
+                unroll=min(config.unroll_lm, refresh),
+            )
+
+        n_chunks = -(-config.iterations // refresh)
+        init_f = (g.pose, r0, jnp.asarray(config.lambda_init, dt), chi2_0)
+        (poses, _, lam, _), (hist, acc) = jax.lax.scan(
+            chunk, init_f, jnp.arange(n_chunks)
+        )
+        hist = hist.reshape(-1)[: config.iterations]
+        acc = acc.reshape(-1)[: config.iterations]
+        return poses, lam, jnp.concatenate([chi2_0[None], hist]), acc
 
     hist0 = jnp.full((config.iterations,), chi2_0, dtype=dt)
     acc0 = jnp.zeros((config.iterations,), dtype=bool)
@@ -957,8 +1077,12 @@ def lm_loop(g: GraphState, free: jax.Array, config: SolverConfig,
     if (
         reduce is _identity_reduce
         and config.preconditioner in ("chain", "woodbury")
-        and config.early_exit
+        and config.mode == "auto"
     ):
+        # handles BOTH termination modes: early_exit=True -> g2o-parity
+        # while_loop; early_exit=False -> fixed-iteration chunked scan
+        # (the fleet form). mode="pcg" keeps the generic scan path for
+        # apples-to-apples benchmarking.
         return _lm_loop_fast(g, free, config, r0, chi2_0, adj_meas_inv)
 
     def linearize_from_r(r):

@@ -176,6 +176,10 @@ def apply_delta(g: GraphState, delta: GraphDelta) -> tuple[GraphState, Ack]:
     endpoints are not yet present are skipped and stay un-ACKed (the
     resend protocol will deliver them after the nodes arrive).
     """
+    # a delta may arrive as host numpy after cross-process transport
+    # (tests/test_scope_transport.py) — device-side scans index it with
+    # tracers, so coerce leaves up front
+    delta = jax.tree.map(jnp.asarray, delta)
     dn = delta.n_uid.shape[0]
 
     # --- nodes ---
@@ -301,6 +305,7 @@ def apply_scope(g: GraphState, reply: ScopeReply) -> GraphState:
     """Local merges boundary nodes: known uids get the global pose and are
     frozen; unknown uids are inserted as fixed anchors (``scopeCallback``,
     ``:401-432``)."""
+    reply = jax.tree.map(jnp.asarray, reply)  # may arrive as host numpy
     k = reply.uid.shape[0]
 
     def body(gg, i):

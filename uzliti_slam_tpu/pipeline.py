@@ -90,6 +90,10 @@ class SlamState(NamedTuple):
     clouds: jax.Array | None = None       # (N, V, 3) base-frame points
     cloud_lab: jax.Array | None = None    # (N, V, 3) CIELAB color
     cloud_valid: jax.Array | None = None  # (N, V)
+    # live-retunable numeric gates as device scalars (the
+    # dynamic_reconfigure analog, config.Tunables); None falls back to
+    # the static config values
+    tunables: "object | None" = None
 
 
 def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
@@ -118,8 +122,11 @@ def init_state(config: SlamConfig, seed: int = 0, vocabulary=None) -> SlamState:
         clouds = jnp.zeros((n, v, 3))
         cloud_lab = jnp.zeros((n, v, 3))
         cloud_valid = jnp.zeros((n, v), dtype=bool)
+    from uzliti_slam_tpu.config import tunables_from_config
+
     return SlamState(
         graph=gstate.empty_graph(n, config.edge_capacity),
+        tunables=tunables_from_config(config),
         clouds=clouds,
         cloud_lab=cloud_lab,
         cloud_valid=cloud_valid,
@@ -167,9 +174,13 @@ def _keyframe_body(
     (H, W) and (7,) are promoted to C=1. Intrinsics are shared across
     cameras (per-camera intrinsics: pass stacked fields in ``cam``).
     """
+    from uzliti_slam_tpu.config import tunables_from_config
+
     fc = config.frontend
     ec = config.estimation
     rc = config.recognition
+    tn = (state.tunables if state.tunables is not None
+          else tunables_from_config(config))
     g = state.graph
     prng, k_ransac = jax.random.split(state.prng)
 
@@ -207,7 +218,7 @@ def _keyframe_body(
         kps, desc = features.detect_and_describe(
             img,
             max_keypoints=k_per_cam,
-            threshold=fc.fast_threshold,
+            threshold=tn.fast_threshold,
             grid=fc.grid,
             n_levels=fc.pyramid_levels,
             scale_factor=fc.scale_factor,
@@ -301,8 +312,8 @@ def _keyframe_body(
     bow_vec = None
     if rc.method == "gist":
         pr_slots, _pr_score, pr_ok = rec.gist_query(
-            state.gist, gist, kf.stamp, k=k, max_dist=rc.gist_max_dist,
-            min_dt=rc.min_time_separation,
+            state.gist, gist, kf.stamp, k=k, max_dist=tn.gist_max_dist,
+            min_dt=tn.min_time_separation,
         )
     elif rc.method == "feature_set":
         fbank = rec.FeatureSetBank(
@@ -310,31 +321,31 @@ def _keyframe_body(
             desc_valid=state.desc_valid & g.node_valid[:, None],
             stamp=g.stamp,
             valid=g.node_valid
-            & (jnp.sum(state.desc_valid, axis=-1) >= rc.min_descriptors),
+            & (jnp.sum(state.desc_valid, axis=-1) >= tn.min_descriptors),
         )
         pr_slots, _pr_score, pr_ok = rec.feature_set_query(
             fbank, desc, pts_valid, kf.stamp, k=k,
-            hamming_thresh=rc.feature_hamming_thresh,
-            min_similarity=rc.min_similarity,
-            min_dt=rc.min_time_separation,
+            hamming_thresh=tn.feature_hamming_thresh,
+            min_similarity=tn.min_similarity,
+            min_dt=tn.min_time_separation,
         )
         # the min-descriptor gate applies to the QUERY frame too — the
         # reference indexes AND searches only nodes with enough descriptors
         # (lsh_set_recognizer.cpp:64,112), so a sparse frame neither
         # proposes nor receives candidates
-        pr_ok &= jnp.sum(pts_valid) >= rc.min_descriptors
+        pr_ok &= jnp.sum(pts_valid) >= tn.min_descriptors
     elif rc.method == "repository":
         pr_slots, _pr_score, pr_ok = rec.repository_query(
             state.repo, desc, pts_valid, kf.stamp, k=k,
-            match_thresh=rc.feature_hamming_thresh,
-            min_votes=rc.repo_min_votes,
-            min_dt=rc.min_time_separation,
+            match_thresh=tn.feature_hamming_thresh,
+            min_votes=tn.repo_min_votes,
+            min_dt=tn.min_time_separation,
         )
     elif rc.method == "bow":
         bow_vec = voc.quantize(state.vocab, desc, pts_valid)
         pr_slots, _pr_score, pr_ok = voc.bow_query(
             state.bow, bow_vec, kf.stamp, k=k,
-            min_score=rc.bow_min_score, min_dt=rc.min_time_separation,
+            min_score=tn.bow_min_score, min_dt=tn.min_time_separation,
         )
     else:
         raise ValueError(f"unknown place_recognition method {rc.method!r}")
@@ -347,7 +358,7 @@ def _keyframe_body(
         g.node_valid
         & (d_nodes < config.keyframe.distance_closure_radius)
         & ang_ok
-        & (jnp.abs(g.stamp - kf.stamp) >= rc.min_time_separation)
+        & (jnp.abs(g.stamp - kf.stamp) >= tn.min_time_separation)
     )
     d_sorted = jnp.where(d_eligible, d_nodes, jnp.inf)
     neg, dist_slots = jax.lax.top_k(-d_sorted, k)
@@ -389,15 +400,15 @@ def _keyframe_body(
             mi, ok_m, dist = matching.match_descriptors(
                 cur_bits, matching.unpack_bits(cdesc),
                 valid_a=pts_valid, valid_b=cvalid,
-                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+                ratio=tn.match_ratio, max_dist=tn.max_match_distance,
             )
             res = ransac.ransac_rigid(
                 key, pts_base, cpts[mi], ok_m,
                 n_hypotheses=ec.ransac_hypotheses,
-                inlier_thresh=ec.ransac_inlier_thresh,
-                min_consensus=ec.min_consensus,
+                inlier_thresh=tn.ransac_inlier_thresh,
+                min_consensus=tn.min_consensus,
                 quality=-dist,  # soft PROSAC: prefer low-Hamming matches
-                min_sigma=ec.ransac_min_sigma,
+                min_sigma=tn.ransac_min_sigma,
             )
             return res.pose, res.information, res.consensus.astype(jnp.float32), res.ok
 
@@ -422,14 +433,14 @@ def _keyframe_body(
             mi, ok_m, dist = matching.match_descriptors(
                 cur_bits, matching.unpack_bits(state.desc[cslot]),
                 valid_a=valid2d, valid_b=state.desc_valid[cslot],
-                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+                ratio=tn.match_ratio, max_dist=tn.max_match_distance,
             )
             pr = pnp_ops.pnp_ransac(
                 key, state.points[cslot][mi], uv_all, ok_m,
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 n_hypotheses=ec.pnp_hypotheses,
-                reproj_thresh_px=ec.pnp_reproj_px,
-                min_consensus=ec.min_consensus,
+                reproj_thresh_px=tn.pnp_reproj_px,
+                min_consensus=tn.min_consensus,
                 depth=depth0,
             )
             # pr.pose maps cand-base -> current cam0; the edge stores
@@ -454,7 +465,7 @@ def _keyframe_body(
                 state.cloud_valid[cslot],
                 init_pose=init,
                 iterations=ec.gicp_iterations,
-                max_corr_dist=ec.gicp_max_corr,
+                max_corr_dist=tn.gicp_max_corr,
             )
             ok = rg.ok & jnp.any(state.cloud_valid[cslot])
             return rg.pose, rg.information, 100.0 * rg.fraction, ok
@@ -473,9 +484,9 @@ def _keyframe_body(
     edge_ok = (
         cand_ok
         & r_ok
-        & (r_score >= ec.min_matching_score)
-        & (t_norm < ec.max_edge_translation)
-        & (r_deg < ec.max_edge_rotation_deg)
+        & (r_score >= tn.min_matching_score)
+        & (t_norm < tn.max_edge_translation)
+        & (r_deg < tn.max_edge_rotation_deg)
     )
 
     # --- insert node ---
@@ -508,8 +519,8 @@ def _keyframe_body(
             cur_pts, cur_okm, prev_pts, prev_okm & state.scan_valid[prev_slot_safe],
             init2,
             iterations=ec.icp_iterations,
-            max_corr_dist=ec.icp_max_corr,
-            min_valid_fraction=ec.icp_min_valid_fraction,
+            max_corr_dist=tn.icp_max_corr,
+            min_valid_fraction=tn.icp_min_valid_fraction,
         )
         # ICP aligns current scan into the previous frame: T_prev_cur.
         # Enters INVALID: like every non-odometry edge it only becomes
@@ -557,7 +568,7 @@ def _keyframe_body(
             wrote,
             lambda r: rec.repository_add(
                 r, ns, desc, pts_valid, kf.stamp,
-                match_thresh=rc.feature_hamming_thresh,
+                match_thresh=tn.feature_hamming_thresh,
             ),
             lambda r: r,
             repo,
@@ -695,8 +706,12 @@ def recognize_absorbed(
     of the wire format) fall back to the feature_set query — same
     candidates, different index.
     """
+    from uzliti_slam_tpu.config import tunables_from_config
+
     rc = config.recognition
     ec = config.estimation
+    tn = (state.tunables if state.tunables is not None
+          else tunables_from_config(config))
 
     def one(st: SlamState, xs):
         slot, ok = xs
@@ -710,7 +725,7 @@ def recognize_absorbed(
         if rc.method == "gist":
             pr_slots, _sc, pr_ok = rec.gist_query(
                 st.gist, st.gist.desc[s], stamp, k=k,
-                max_dist=rc.gist_max_dist, min_dt=rc.min_time_separation,
+                max_dist=tn.gist_max_dist, min_dt=tn.min_time_separation,
             )
         else:
             fbank = rec.FeatureSetBank(
@@ -718,15 +733,15 @@ def recognize_absorbed(
                 desc_valid=st.desc_valid & g.node_valid[:, None],
                 stamp=g.stamp,
                 valid=g.node_valid
-                & (jnp.sum(st.desc_valid, axis=-1) >= rc.min_descriptors),
+                & (jnp.sum(st.desc_valid, axis=-1) >= tn.min_descriptors),
             )
             pr_slots, _sc, pr_ok = rec.feature_set_query(
                 fbank, st.desc[s], st.desc_valid[s], stamp, k=k,
-                hamming_thresh=rc.feature_hamming_thresh,
-                min_similarity=rc.min_similarity,
-                min_dt=rc.min_time_separation,
+                hamming_thresh=tn.feature_hamming_thresh,
+                min_similarity=tn.min_similarity,
+                min_dt=tn.min_time_separation,
             )
-            pr_ok &= jnp.sum(st.desc_valid[s]) >= rc.min_descriptors
+            pr_ok &= jnp.sum(st.desc_valid[s]) >= tn.min_descriptors
         pr_ok &= ok & (pr_slots != s)
 
         # dedup against existing edges (presence-keyed, both directions)
@@ -751,15 +766,15 @@ def recognize_absorbed(
             mi, ok_m, dist = matching.match_descriptors(
                 cur_bits, matching.unpack_bits(st.desc[cslot]),
                 valid_a=cur_valid, valid_b=st.desc_valid[cslot],
-                ratio=ec.match_ratio, max_dist=ec.max_match_distance,
+                ratio=tn.match_ratio, max_dist=tn.max_match_distance,
             )
             return ransac.ransac_rigid(
                 key, cur_pts, st.points[cslot][mi], ok_m,
                 n_hypotheses=ec.ransac_hypotheses,
-                inlier_thresh=ec.ransac_inlier_thresh,
-                min_consensus=ec.min_consensus,
+                inlier_thresh=tn.ransac_inlier_thresh,
+                min_consensus=tn.min_consensus,
                 quality=-dist,
-                min_sigma=ec.ransac_min_sigma,
+                min_sigma=tn.ransac_min_sigma,
             )
 
         rkeys = jax.random.split(k_ransac, nb)
@@ -769,9 +784,9 @@ def recognize_absorbed(
         edge_ok = (
             pr_ok
             & res.ok
-            & (res.consensus >= ec.min_matching_score)
-            & (t_norm < ec.max_edge_translation)
-            & (r_deg < ec.max_edge_rotation_deg)
+            & (res.consensus >= tn.min_matching_score)
+            & (t_norm < tn.max_edge_translation)
+            & (r_deg < tn.max_edge_rotation_deg)
         )
 
         def add_cand(gg, ys):
@@ -870,8 +885,12 @@ def scan_reregistration(
     laser edges — the reference's scan re-registration timer
     (``GraphSlam.cfg:24``, up to 10 Hz re-running ``estimateScanEdge``
     against nearby nodes). Returns (state, number of edges added)."""
+    from uzliti_slam_tpu.config import tunables_from_config
+
     g = state.graph
     ec = config.estimation
+    tn = (state.tunables if state.tunables is not None
+          else tunables_from_config(config))
     cur = jnp.maximum(state.last_kf_slot, 0)
     has = (state.last_kf_slot >= 0) & state.scan_valid[cur]
 
@@ -902,8 +921,8 @@ def scan_reregistration(
         return icp.icp_point_to_line(
             cur_pts, cur_okm, tp, tok, init2,
             iterations=ec.icp_iterations,
-            max_corr_dist=ec.icp_max_corr,
-            min_valid_fraction=ec.icp_min_valid_fraction,
+            max_corr_dist=tn.icp_max_corr,
+            min_valid_fraction=tn.icp_min_valid_fraction,
         )
 
     ires = jax.vmap(one)(jnp.maximum(targets, 0))
@@ -1273,6 +1292,9 @@ class Slam:
         self.auto_grow = True
         self._since_opt = 0
         self._epochs_since_calib = 0
+        self._pending = []  # host-side due-frame buffer (enqueue_frame)
+        import numpy as np
+        self._pending_last_odom = np.zeros(7, np.float32)
         import numpy as np
         self._last_kf_odom_host = np.asarray(self.state.last_kf_odom)
         self._n_kf_host = 0
@@ -1418,7 +1440,7 @@ class Slam:
                         st.repo, jnp.asarray(int(s)), jnp.asarray(desc[s]),
                         jnp.asarray(desc_valid[s]),
                         jnp.asarray(float(stamps[s])),
-                        match_thresh=rc.feature_hamming_thresh,
+                        match_thresh=tn.feature_hamming_thresh,
                     )
                 )
         elif rc.method == "bow":
@@ -1537,7 +1559,67 @@ class Slam:
             self.optimize()
         return info
 
-    def add_frames(self, images, depths, odom_poses, stamps) -> dict:
+    def enqueue_frame(self, image, depth, odom_pose, stamp,
+                      chunk: int = 8) -> bool:
+        """Streaming ingest with the gate BEFORE the transfer.
+
+        The reference requests sensor data only when odometry moved past
+        the keyframe threshold (``SensorRequest``,
+        ``graph_slam_node.cpp:161-186``) — camera frames for non-keyframes
+        never cross the wire.  This is that policy for the TPU: the host
+        gate runs on odometry alone; non-due frames are dropped with ZERO
+        host->device traffic, due frames buffer host-side and ship as one
+        fixed-shape ``process_frame_chunk`` dispatch per ``chunk``
+        keyframes (partial flushes pad to ``chunk`` so one compiled shape
+        serves the whole stream).  Returns whether the frame was due.
+        Call ``flush_frames()`` at end of stream.
+        """
+        import numpy as np
+
+        kc = self.config.keyframe
+        odom = np.asarray(odom_pose, np.float32)
+        first = self._n_kf_host == 0 and not self._pending
+        last = (
+            self._pending_last_odom if self._pending
+            else self._last_kf_odom_host
+        )
+        due = first or _keyframe_due_np(
+            last, odom, kc.new_node_distance, kc.new_node_angle_deg,
+        )
+        if not due:
+            return False
+        self._pending.append((np.asarray(image), np.asarray(depth), odom,
+                              np.float32(stamp)))
+        self._pending_last_odom = odom
+        if len(self._pending) >= chunk:
+            self.flush_frames(chunk)
+        return True
+
+    def flush_frames(self, chunk: int = 8):
+        """Dispatch buffered due frames (padding a partial buffer to the
+        static ``chunk`` shape with masked-out repeats)."""
+        import numpy as np
+
+        if not self._pending:
+            return None
+        n_real = len(self._pending)
+        pend = list(self._pending)
+        self._pending = []
+        while len(pend) < chunk:
+            pend.append(pend[-1])
+        due = np.zeros(len(pend), bool)
+        due[:n_real] = True
+        infos = self.add_frames(
+            np.stack([p[0] for p in pend]),
+            np.stack([p[1] for p in pend]),
+            np.stack([p[2] for p in pend]),
+            np.asarray([p[3] for p in pend], np.float32),
+            due=due,
+        )
+        return infos
+
+    def add_frames(self, images, depths, odom_poses, stamps,
+                   due=None) -> dict:
         """Process a chunk of raw frames in ONE device dispatch
         (``process_frame_chunk``): the keyframe gate runs on-device, so
         this accepts the full 30 Hz camera stream and inserts only due
@@ -1574,7 +1656,18 @@ class Slam:
         # chunk N+1 is built and enqueued while N still executes. Capacity
         # is guaranteed by the growth loop above, so gate == inserted; the
         # non-growing configuration keeps the authoritative device fetch.
-        if self.auto_grow:
+        if due is not None:
+            due = np.asarray(due, bool)
+            self.state, infos = process_frame_chunk(
+                self.state, kfs, self.cam, self.cam_pose, self.config,
+                due=jnp.asarray(due),
+            )
+            inserted = due
+            n_new = int(due.sum())
+            if n_new:
+                last = int(np.nonzero(due)[0][-1])
+                self._last_kf_odom_host = np.asarray(odom_poses[last], np.float32)
+        elif self.auto_grow:
             kc = self.config.keyframe
             odoms = np.asarray(odom_poses, np.float32)
             due = np.zeros(t, bool)
@@ -1665,6 +1758,36 @@ class Slam:
         if self._db is not None:
             self._db_sync_full()
         return stats
+
+    def set_param(self, name: str, value: float) -> None:
+        """Live-retune a numeric gate with ZERO recompilation — the
+        dynamic_reconfigure analog (``GraphSlam.cfg:9-34``, callbacks
+        ``graph_slam_node.cpp:1087-1116``).  ``name`` is a
+        ``config.Tunables`` field (estimation / recognition / front-end
+        gate); the scalar updates on device and the next jitted step reads
+        it as a dynamic operand.  Keyframe spacing and timer cadences are
+        plain host attributes (``config.keyframe`` is read by the host
+        gate; ``optimize_every`` / ``calibrate_every`` by the scheduler) —
+        also recompile-free.  Shape-determining params (capacities,
+        budgets, method selection) are intentionally NOT here: changing
+        them re-specializes the compiled step.
+        """
+        import dataclasses as _dc
+
+        tn = self.state.tunables
+        if tn is None or not hasattr(tn, name):
+            # host-side keyframe-gate params retune through the config
+            # dataclass (never traced on the frame path)
+            if hasattr(self.config.keyframe, name):
+                self.config = _dc.replace(
+                    self.config,
+                    keyframe=_dc.replace(self.config.keyframe, **{name: value}),
+                )
+                return
+            raise KeyError(f"unknown tunable {name!r}")
+        self.state = self.state._replace(
+            tunables=tn._replace(**{name: jnp.asarray(value, jnp.float32)})
+        )
 
     def calibrate(self, update_extrinsics: bool = False,
                   iterations: int = 20):

@@ -132,6 +132,63 @@ def _remap_ship(ship: scope.ShipState, perm: dict) -> scope.ShipState:
     )
 
 
+def global_exchange_step(
+    gslam: "pipeline.Slam",
+    delta: scope.GraphDelta,
+    robot,
+    radius,
+    delta_nodes: int = 32,
+    delta_edges: int = 64,
+    optimize: bool = True,
+):
+    """The GLOBAL role's half of one protocol round, transport-agnostic.
+
+    Takes a received ``GraphDelta`` + the local robot pose/scope radius
+    (the ``/sub_graph`` + ``/request_scope`` inputs) and returns
+    ``(ack, reply, info)`` (the ``/graph_received`` + ``/scope_graph``
+    outputs).  Used by the in-process ``LocalGlobalSlam`` AND by the
+    cross-process server (``tests/test_scope_transport.py``) — the same
+    function body runs on either side of an OS boundary, which is what
+    "transport is the caller's choice" means concretely.
+    """
+    # grow the global before applying: a dropped insert would stall the
+    # resend loop until capacity appears
+    need_n = int(jax.device_get(gslam.state.graph.num_nodes)) + delta_nodes
+    need_e = int(jax.device_get(gslam.state.graph.num_edges)) + delta_edges
+    if (need_n >= int(0.9 * gslam.config.node_capacity)
+            or need_e >= int(0.9 * gslam.config.edge_capacity)):
+        new_cfg = dataclasses.replace(
+            gslam.config,
+            node_capacity=max(gslam.config.node_capacity * 2, 64),
+            edge_capacity=max(gslam.config.edge_capacity * 2, 256),
+        )
+        gslam.state = pipeline.grow_state(
+            gslam.state, new_cfg.node_capacity, new_cfg.edge_capacity
+        )
+        gslam.config = new_cfg
+
+    gg, ack = scope.apply_delta(gslam.state.graph, delta)
+    gstate_, slots, fresh = _absorb_payloads_jit(
+        gslam.state._replace(graph=gg), delta
+    )
+    # the global re-runs its PR on received nodes and proposes edges
+    # from the shipped features (graph_slam_node.cpp:473-476)
+    gstate_, n_proposed = pipeline.recognize_absorbed(
+        gstate_, slots, fresh, gslam.config
+    )
+    gslam.state = gstate_
+
+    reply = scope.scope_reply(gslam.state.graph, robot, radius)
+    info_g = gslam.maintain(center=robot)
+    if optimize:
+        gslam.optimize()
+    info = {
+        "merged_global": int(jax.device_get(info_g["merged"])),
+        "proposed_global": int(jax.device_get(n_proposed)),
+    }
+    return ack, reply, info
+
+
 class LocalGlobalSlam:
     """Two `pipeline.Slam` instances + the scope protocol as one runner.
 
@@ -169,27 +226,25 @@ class LocalGlobalSlam:
         3. local evicts shipped out-of-scope nodes (+ slot reclamation)
         4. global merges revisited-area nodes and (optionally) optimizes
         """
+        # 1. local packs the delta + scope request
+        delta, robot, radius = self.local_make_request()
+
+        # 2. global half (same function the cross-process server runs)
+        ack, reply, info_g = global_exchange_step(
+            self.global_slam, delta, robot, radius,
+            self.delta_nodes, self.delta_edges, optimize=optimize_global,
+        )
+
+        # 3. local absorbs the ACK + boundary reply, evicts, compacts
+        info_l = self.local_apply_response(ack, reply)
+        return {**info_l, **info_g}
+
+    def local_make_request(self):
+        """LOCAL half, outbound: the un-ACKed delta (``/sub_graph``) plus
+        the scope request's robot pose + adaptive radius
+        (``/request_scope``, ``graph_slam_node.cpp:578-617``)."""
         lg = self.local.state.graph
         self.ship = _grow_ship(self.ship, lg.node_capacity, lg.edge_capacity)
-
-        # grow the global before applying: a dropped insert would stall the
-        # resend loop until capacity appears
-        gslam = self.global_slam
-        need_n = int(jax.device_get(gslam.state.graph.num_nodes)) + self.delta_nodes
-        need_e = int(jax.device_get(gslam.state.graph.num_edges)) + self.delta_edges
-        if (need_n >= int(0.9 * gslam.config.node_capacity)
-                or need_e >= int(0.9 * gslam.config.edge_capacity)):
-            new_cfg = dataclasses.replace(
-                gslam.config,
-                node_capacity=max(gslam.config.node_capacity * 2, 64),
-                edge_capacity=max(gslam.config.edge_capacity * 2, 256),
-            )
-            gslam.state = pipeline.grow_state(
-                gslam.state, new_cfg.node_capacity, new_cfg.edge_capacity
-            )
-            gslam.config = new_cfg
-
-        # 1. delta → global (full sensor payloads), ACK → local
         ls = self.local.state
         delta = scope.make_delta(
             lg, self.ship, ls.gist.desc,
@@ -197,52 +252,36 @@ class LocalGlobalSlam:
             desc=ls.desc, desc_valid=ls.desc_valid, points=ls.points,
             scans=ls.scans, scan_valid=ls.scan_valid,
             feat_budget=self.feat_budget,
+            sensor_transforms=(
+                self.local.cam_pose if self.local.cam_pose.ndim == 2
+                else self.local.cam_pose[None]
+            ),
         )
-        gg, ack = scope.apply_delta(gslam.state.graph, delta)
-        gstate_, slots, fresh = _absorb_payloads_jit(
-            gslam.state._replace(graph=gg), delta
-        )
-        # the global re-runs its PR on received nodes and proposes edges
-        # from the shipped features (graph_slam_node.cpp:473-476)
-        gstate_, n_proposed = pipeline.recognize_absorbed(
-            gstate_, slots, fresh, gslam.config
-        )
-        gslam.state = gstate_
-        self.ship = scope.apply_ack(lg, self.ship, ack)
-        n_acked = int(jax.device_get(jnp.sum(ack.node_uids >= 0)))
-
-        # 2. scope request/reply: boundary nodes come back FIXED. Robot
-        # pose = map-frame estimate of the latest keyframe odometry
+        # Robot pose = map-frame estimate of the latest keyframe odometry
         # (graph_slam_node.cpp:188-202) — stays on device, no frame-path sync
-        robot = self.local.state.graph.pose[
-            jnp.maximum(self.local.state.last_kf_slot, 0)
-        ]
+        robot = lg.pose[jnp.maximum(ls.last_kf_slot, 0)]
         sc = self.local.config.scope
         radius = lifecycle.scope_radius(
-            self.local.state.graph.uncertainty[
-                jnp.maximum(self.local.state.last_kf_slot, 0)
-            ],
+            lg.uncertainty[jnp.maximum(ls.last_kf_slot, 0)],
             sc.scope_size_min, sc.scope_size_factor,
         )
-        reply = scope.scope_reply(gslam.state.graph, robot, radius)
+        return delta, robot, radius
+
+    def local_apply_response(self, ack: scope.Ack, reply: scope.ScopeReply):
+        """LOCAL half, inbound: mark ACKed entries, merge fixed boundary
+        nodes, evict shipped out-of-scope nodes, reclaim slots."""
+        lg = self.local.state.graph
+        self.ship = scope.apply_ack(lg, self.ship, ack)
+        n_acked = int(jax.device_get(jnp.sum(ack.node_uids >= 0)))
         self.local.state = self.local.state._replace(
             graph=scope.apply_scope(self.local.state.graph, reply)
         )
-
-        # 3. local eviction (only ACKed nodes leave) + slot reclamation
         info_l = self.local.maintain(shipped=self.ship.node_acked)
         if info_l["compact_perm"] is not None:
             self.ship = _remap_ship(self.ship, info_l["compact_perm"])
-
-        # 4. global merge + solve
-        info_g = self.global_slam.maintain(center=robot)
-        if optimize_global:
-            self.global_slam.optimize()
         return {
             "acked_nodes": n_acked,
             "evicted_local": int(jax.device_get(info_l["evicted"])),
-            "merged_global": int(jax.device_get(info_g["merged"])),
-            "proposed_global": int(jax.device_get(n_proposed)),
         }
 
     # -- results ------------------------------------------------------------

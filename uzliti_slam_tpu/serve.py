@@ -9,6 +9,8 @@ Endpoints:
 - ``POST /frame``       npz body: image (H,W) or (C,H,W) f32, depth, odom_pose (7,), stamp ()
                         → {"keyframe": bool, "n_nodes": int}
 - ``POST /optimize``    run one optimization epoch → {"chi2": [...]}
+- ``POST /set_param``   JSON {name: value, ...} live gate retuning
+                        (``config.Tunables`` — no recompilation)
 - ``GET  /trajectory``  → JSON {stamps, poses} of valid nodes
 - ``GET  /graph``       → JSON marker export (viz.graph_to_dict)
 - ``GET  /stats``       → node/edge counts + metrics summary
@@ -203,6 +205,13 @@ def make_handler(service: SlamService):
                 elif self.path == "/optimize":
                     stats = service.optimize()
                     self._json({"chi2": np.asarray(stats.chi2_history).tolist()})
+                elif self.path == "/set_param":
+                    # live retuning endpoint — the dynamic_reconfigure
+                    # analog (config.Tunables; zero recompilation)
+                    req = json.loads(body or b"{}")
+                    for k, v in req.items():
+                        service.slam.set_param(k, float(v))
+                    self._json({"ok": True, "set": sorted(req)})
                 elif self.path == "/checkpoint":
                     req = json.loads(body or b"{}")
                     service.checkpoint(req["path"])

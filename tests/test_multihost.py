@@ -44,7 +44,14 @@ class TestMultihost:
         mesh = multihost.pod_mesh(batch_axis=8, edge_axis=1)
         cfg = solver.SolverConfig(iterations=5)
         out = multihost.solve_fleet(batched, mesh, cfg)
-        ref = solver.optimize(graphs[3], cfg)[0]
+        # reference must precondition exactly as the fleet default
+        # resolves (cutoff 16 + NS root + dense gathers at 24 nodes) for
+        # unconverged LM trajectories to be comparable
+        ref_cfg = solver.SolverConfig(
+            iterations=5, chain_dense_cutoff=16, chain_root_ns=True,
+            dense_gathers=True,
+        )
+        ref = solver.optimize(graphs[3], ref_cfg)[0]
         # loose atol: batched vs single linalg.inv lowerings differ in the
         # last ulp and 5 LM iterations amplify it; real sharding bugs are
         # meters-scale
@@ -54,11 +61,13 @@ class TestMultihost:
         # tighter companion at ONE iteration, where accept/reject chains
         # cannot diverge: fleet and single solve start from the identical
         # iterate, so the post-step cost must match to reduction-order
-        # noise — a mis-sharded solve is orders of magnitude off.
-        # chain_dense_cutoff=1 explicitly: the fleet path defaults to full
-        # cyclic reduction, and the reference must precondition identically
-        # for the steps to be comparable.
-        cfg1 = solver.SolverConfig(iterations=1, chain_dense_cutoff=1)
+        # noise — a mis-sharded solve is orders of magnitude off. The
+        # explicit config mirrors what the fleet default resolves to, so
+        # both sides precondition identically.
+        cfg1 = solver.SolverConfig(
+            iterations=1, chain_dense_cutoff=16, chain_root_ns=True,
+            dense_gathers=True,
+        )
         out1 = multihost.solve_fleet(batched, mesh, cfg1)
         ref1 = solver.optimize(graphs[3], cfg1)[0]
         chi_fleet = float(

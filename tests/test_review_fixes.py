@@ -235,8 +235,13 @@ class TestThirdBatchFixes:
         bins = 180
         ang = np.pi * (2 * (np.arange(bins) + 0.5) / bins - 1)
         ranges = np.full(bins, np.inf, np.float32)
-        fwd = np.argmin(np.abs(ang))
-        ranges[fwd] = 8.0  # beyond max_range: frees to 4 m, no endpoint
+        fwd = int(np.argmin(np.abs(ang)))
+        # a contiguous 5-bin return, as real/virtual scans produce —
+        # the per-cell inverse sensor model reads each cell's OWN bin,
+        # so an isolated 2-degree wedge thinner than a cell would
+        # legitimately skip near-range cell centers
+        ranges[fwd - 2:fwd + 3] = 8.0  # beyond max_range: frees to 4 m
+
         scans = jnp.zeros((8, bins)).at[0].set(jnp.asarray(ranges))
         sv = jnp.zeros(8, bool).at[0].set(True)
         grid = occupancy.project(occupancy.grid_init(g, cfg), g, scans, sv, cfg)

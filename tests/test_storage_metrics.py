@@ -85,3 +85,22 @@ class TestMetrics:
         m.count("x")
         m.reset()
         assert m.summary() == {}
+
+
+class TestMatExport:
+    def test_roundtrip_via_scipy(self, tmp_path):
+        import numpy as np
+
+        from uzliti_slam_tpu.graph import state as gstate
+        from uzliti_slam_tpu.io import storage
+
+        pytest.importorskip("scipy.io")
+        import scipy.io
+
+        g = gstate.empty_graph(8, 16)
+        p = tmp_path / "graph.mat"
+        storage.graph_to_mat(str(p), g)
+        m = scipy.io.loadmat(str(p))
+        assert m["pose"].shape == (8, 7)
+        np.testing.assert_allclose(m["pose"][:, 3], 1.0)  # identity quats
+        assert m["e_from"].shape == (16, 1)

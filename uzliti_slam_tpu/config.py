@@ -250,7 +250,7 @@ class SlamConfig:
     # 47.5 vs 37.7 on the 1k rung), so quality keeps chain the default.
     solver: SolverConfig = SolverConfig(
         odometry_restart=True, preconditioner="chain",
-        pcg_iterations=10, precond_refresh=4,
+        pcg_iterations=12, precond_refresh=5,
     )
     filter: FilterConfig = FilterConfig()
     scope: ScopeConfig = ScopeConfig()
@@ -276,3 +276,6 @@ class SlamConfig:
     # ``solver.use_odometry_calibration`` is set
     # (``g2o_optimizer.cpp:209-227``). 0 = off.
     calibrate_every: int = 0
+    # meters per unit of INTEGER depth inputs (uint16 wire format):
+    # 0.001 = millimeters (Kinect); TUM pngs use 1/5000 m units
+    depth_scale: float = 1e-3

@@ -42,7 +42,11 @@ def run_tum_sequence(
     from uzliti_slam_tpu.frontend import camera as cam_mod
     from uzliti_slam_tpu.io import simulator, synthetic, tum
 
+    import dataclasses as _dc
+
     cfg = config or SlamConfig()
+    # raw TUM png depth units (1/5000 m) ship losslessly as uint16
+    cfg = _dc.replace(cfg, depth_scale=1.0 / tum.DEPTH_SCALE)
     # TUM freiburg-style intrinsics unless the caller supplied a camera
     first = next(tum.load_sequence(root, max_frames=1))
     h, w = first["image"].shape
@@ -74,8 +78,21 @@ def run_tum_sequence(
 
     from uzliti_slam_tpu.mapping import occupancy as _occ
 
+    # Post-playback polish config: the reference keeps re-optimizing on a
+    # timer after playback ends; the offline equivalent runs the final
+    # epochs with a DEEPER linear-solve budget — late loop closures
+    # propagate down the chain through chi2-flat directions that the
+    # live epochs' budget leaves unresolved (they move ATE, not chi2).
+    polish_cfg = _dc.replace(
+        cfg,
+        solver=_dc.replace(
+            cfg.solver, iterations=30, pcg_iterations=32,
+            early_exit_tol=1e-9,
+        ),
+    )
     _throw = pipeline.init_state(cfg)
     _throw, _ = pipeline.optimize_epoch(_throw, cfg)
+    _throw, _ = pipeline.optimize_epoch(_throw, polish_cfg)
     if cfg.project_map:
         _grid = _occ.grid_init(_throw.graph, cfg.grid)
         for _ff in (True, False):
@@ -94,12 +111,14 @@ def run_tum_sequence(
     def push(fr):
         # gate BEFORE transfer (enqueue_frame): non-keyframes never cross
         # the host->device wire — the reference's SensorRequest policy.
-        # Native sensor dtypes: uint8 mono + uint16 millimeter depth — the
-        # keyframe body accepts them directly, and the transfer shrinks
-        # ~2.7x vs float32 (the tunneled-TPU hot cost).
+        # Native sensor dtypes: uint8 mono + uint16 depth in the png's
+        # own 1/5000 m units (depth_scale above) — the keyframe body
+        # accepts them directly, the quantization is exactly the
+        # dataset's, and the transfer shrinks ~2.7x vs float32 (the
+        # tunneled-TPU hot cost).
         return slam.enqueue_frame(
             np.asarray(fr["image"], np.uint8),
-            (np.asarray(fr["depth"]) * 1e3).astype(np.uint16),
+            np.round(np.asarray(fr["depth"]) * tum.DEPTH_SCALE).astype(np.uint16),
             np.asarray(fr["odom_pose"]),
             np.float32(fr["stamp"]),
             chunk=chunk,
@@ -129,8 +148,9 @@ def run_tum_sequence(
     slam.flush_frames(chunk)
     # Final polish: the reference keeps re-optimizing on a timer after
     # playback ends (optimizationTimerCallback at optimize_graph_freq); a
-    # few extra epochs on the complete graph are the offline equivalent
-    # and let late loop closures fully propagate down the chain.
+    # few extra deep epochs on the complete graph are the offline
+    # equivalent (see polish_cfg above; prewarmed, so no mid-run compile).
+    slam.config = polish_cfg
     for _ in range(max(1, final_epochs)):
         stats = slam.optimize()
     jax.block_until_ready(slam.state.graph.pose)

@@ -95,3 +95,50 @@ def load_state(path: str, template):
 def checkpoint_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)
+
+
+def write_mat(path: str, arrays: dict) -> None:
+    """Write named numeric arrays as a MATLAB Level-4 ``.mat`` file.
+
+    Counterpart of the reference's ``Conversions::toMatlab`` export
+    (``graph_slam_common/src/conversions.cpp:487``), dependency-free: the
+    v4 format is per-matrix ``[type, rows, cols, imag, namelen]`` int32
+    header + name + column-major float64 data, readable by MATLAB/Octave
+    and ``scipy.io.loadmat``.  Arrays are flattened to 2-D (vectors become
+    columns).
+    """
+    import struct
+
+    with open(path, "wb") as f:
+        for name, arr in arrays.items():
+            a = np.asarray(arr, dtype=np.float64)
+            if a.ndim == 0:
+                a = a.reshape(1, 1)
+            elif a.ndim == 1:
+                a = a.reshape(-1, 1)
+            elif a.ndim > 2:
+                a = a.reshape(a.shape[0], -1)
+            rows, cols = a.shape
+            nm = name.encode() + b"\x00"
+            # type 0000: little-endian, float64, numeric, full matrix
+            f.write(struct.pack("<5i", 0, rows, cols, 0, len(nm)))
+            f.write(nm)
+            f.write(np.asfortranarray(a).tobytes(order="F"))
+
+
+def graph_to_mat(path: str, g) -> None:
+    """Export a ``GraphState`` to ``.mat`` (poses, odometry, edge table) —
+    the graph-level ``toMatlab`` use."""
+    write_mat(path, {
+        "pose": np.asarray(g.pose),
+        "odom_pose": np.asarray(g.odom_pose),
+        "stamp": np.asarray(g.stamp),
+        "node_valid": np.asarray(g.node_valid),
+        "e_from": np.asarray(g.e_from),
+        "e_to": np.asarray(g.e_to),
+        "e_type": np.asarray(g.e_type),
+        "e_valid": np.asarray(g.e_valid),
+        "e_error": np.asarray(g.e_error),
+        "e_transform": np.asarray(g.e_transform),
+        "odom_params": np.asarray(g.odom_params),
+    })

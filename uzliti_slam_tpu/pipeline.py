@@ -191,7 +191,9 @@ def _keyframe_body(
     deps = kf.depth if kf.depth.ndim == 3 else kf.depth[None]
     imgs = imgs.astype(jnp.float32)
     if jnp.issubdtype(deps.dtype, jnp.integer):
-        deps = deps.astype(jnp.float32) * 0.001  # mm -> m
+        # integer depth carries sensor units (default mm); the scale is
+        # config so TUM's native 0.2 mm png units ship losslessly
+        deps = deps.astype(jnp.float32) * config.depth_scale
     else:
         deps = deps.astype(jnp.float32)
     cam_poses = cam_pose if cam_pose.ndim == 2 else cam_pose[None]

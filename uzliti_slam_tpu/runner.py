@@ -140,6 +140,7 @@ def global_exchange_step(
     delta_nodes: int = 32,
     delta_edges: int = 64,
     optimize: bool = True,
+    uid_map=None,
 ):
     """The GLOBAL role's half of one protocol round, transport-agnostic.
 
@@ -167,7 +168,22 @@ def global_exchange_step(
         )
         gslam.config = new_cfg
 
-    gg, ack = scope.apply_delta(gslam.state.graph, delta)
+    # host-side native uid->slot hashmap (runtime/native.py UidMap): one
+    # O(Dn) hash probe replaces apply_delta's per-row O(N) masked scans —
+    # at a 100k-node global the scans are the dominant delta-apply cost
+    existing = None
+    if uid_map is not None:
+        existing = uid_map.lookup_batch(
+            np.asarray(jax.device_get(delta.n_uid), np.int32)
+        )
+    gg, ack = scope.apply_delta(gslam.state.graph, delta, existing_slots=existing)
+    if uid_map is not None:
+        uids = np.asarray(jax.device_get(ack.node_uids), np.int32)
+        slots_np = np.asarray(
+            jax.device_get(scope.uid_to_slot(gg, ack.node_uids)), np.int32
+        )
+        m = (uids >= 0) & (slots_np >= 0)
+        uid_map.insert_batch(uids[m], slots_np[m])
     gstate_, slots, fresh = _absorb_payloads_jit(
         gslam.state._replace(graph=gg), delta
     )
@@ -180,6 +196,18 @@ def global_exchange_step(
 
     reply = scope.scope_reply(gslam.state.graph, robot, radius)
     info_g = gslam.maintain(center=robot)
+    if uid_map is not None and (
+        int(jax.device_get(info_g["merged"])) > 0
+        or info_g["compact_perm"] is not None
+    ):
+        # merges invalidate slots and compaction permutes them — rebuild
+        # the host map from the authoritative graph arrays
+        gg2 = gslam.state.graph
+        valid = np.asarray(jax.device_get(gg2.node_valid))
+        uids2 = np.asarray(jax.device_get(gg2.node_uid), np.int32)
+        live = np.nonzero(valid)[0].astype(np.int32)
+        uid_map.clear()
+        uid_map.insert_batch(uids2[live], live)
     if optimize:
         gslam.optimize()
     info = {
@@ -206,6 +234,11 @@ class LocalGlobalSlam:
         self.ship = scope.ship_state_init(self.local.state.graph)
         self.delta_nodes = delta_nodes
         self.delta_edges = delta_edges
+        # host-side uid->slot hashmap for the GLOBAL graph (native
+        # runtime; python-dict fallback) — spares apply_delta its per-row
+        # O(N) uid scans on big global graphs
+        from uzliti_slam_tpu.runtime import native
+        self.guid_map = native.UidMap()
         # descriptor rows shipped per node (None = the full bank) — the
         # wire-size budget of the Node.msg SensorDataArray payload
         self.feat_budget = feat_budget
@@ -233,6 +266,7 @@ class LocalGlobalSlam:
         ack, reply, info_g = global_exchange_step(
             self.global_slam, delta, robot, radius,
             self.delta_nodes, self.delta_edges, optimize=optimize_global,
+            uid_map=self.guid_map,
         )
 
         # 3. local absorbs the ACK + boundary reply, evicts, compacts

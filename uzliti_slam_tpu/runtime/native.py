@@ -167,6 +167,14 @@ class UidMap:
         else:
             self._d.pop(uid, None)
 
+    def clear(self):
+        """Drop all entries (rebuild-after-compaction path)."""
+        if self._lib:
+            self._lib.uidmap_destroy(self._h)
+            self._h = self._lib.uidmap_create()
+        else:
+            self._d.clear()
+
     def insert_batch(self, uids: np.ndarray, slots: np.ndarray):
         if self._lib:
             u = np.ascontiguousarray(uids, dtype=np.int32)

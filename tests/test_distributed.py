@@ -129,7 +129,9 @@ def test_two_process_distributed_solve(tmp_path):
     from uzliti_slam_tpu.io import synthetic
     from uzliti_slam_tpu.parallel import sharded
 
-    cfg = solver.SolverConfig(iterations=10)
+    # generic fixed-iteration path, matching what the edge-sharded psum
+    # loop runs (the default fast path would early-exit)
+    cfg = solver.SolverConfig(iterations=10, mode="pcg", early_exit=False)
     g, _ = synthetic.make_pose_graph(jax.random.PRNGKey(0), 200, loop_closure_every=10)
     g = sharded.pad_edges_to_multiple(g, 4)
     _, stats = solver.optimize(g, cfg)
@@ -142,9 +144,14 @@ def test_two_process_distributed_solve(tmp_path):
     graphs = jax.jit(jax.vmap(
         lambda k: synthetic.make_pose_graph(k, 64, loop_closure_every=8)[0]
     ))(keys)
+    # per-instance reference at the resolved fleet preconditioner
+    fleet_cfg = solver.SolverConfig(
+        iterations=10, chain_dense_cutoff=16, chain_root_ns=True,
+        dense_gathers=True,
+    )
     for i in range(8):
         gi = jax.tree.map(lambda x: x[i], graphs)
-        _, st = solver.optimize(gi, cfg)
+        _, st = solver.optimize(gi, fleet_cfg)
         assert results[0]["chi2_fleet"][i] == pytest.approx(
             float(st.chi2_history[-1]), rel=2e-2
         )

@@ -126,13 +126,21 @@ def export_tum_dataset(
     odom_drift: float = 0.03,
     seed: int = 0,
     fps: float = 10.0,
+    hard: bool = False,
 ) -> str:
     """Write a full TUM RGB-D directory rendered from the simulator:
     ``rgb/``+``depth/`` 8/16-bit PNGs, ``rgb.txt``/``depth.txt`` indexes,
     ``groundtruth.txt`` and ``odometry.txt`` trajectories (the drifted
     wheel odometry the reference's dataset bags carry,
     ``dataset.launch:1-36``). Idempotent: returns immediately when the
-    directory already holds a complete export with the same parameters."""
+    directory already holds a complete export with the same parameters.
+
+    ``hard=True`` adds the sensor pathologies real freiburg sequences
+    carry and clean renders lack (real datasets are unreachable from this
+    environment): depth speckle dropout + range-proportional noise
+    (Kinect disparity error grows ~z^2) and a slow exposure drift with
+    per-frame gain jitter. Rotation-only motion is NOT covered — the
+    corridor renderer is translation-only."""
     import json
     import os
 
@@ -141,6 +149,7 @@ def export_tum_dataset(
     params = dict(
         n_frames=n_frames, length=length, laps=laps, img_h=img_h,
         img_w=img_w, f=f, odom_drift=odom_drift, seed=seed, fps=fps,
+        hard=hard,
     )
     stamp_file = os.path.join(root, "params.json")
     if os.path.exists(stamp_file):
@@ -168,6 +177,16 @@ def export_tum_dataset(
         odom = odom + step + (bias + noise) * np.linalg.norm(step)
         prev = gt_xy
         img, dep_mm = world.render(tx[i], ty[i])
+        if hard:
+            # exposure drift (slow sinusoid) + per-frame gain jitter
+            gain = (1.0 + 0.25 * np.sin(2 * np.pi * i / 180.0)
+                    + rng.normal(0, 0.03))
+            img = np.clip(np.asarray(img, np.float64) * gain, 0, 255)
+            # depth: range-proportional noise + speckle dropout holes
+            z_m = np.asarray(dep_mm, np.float64) / 1000.0
+            z_m = z_m * (1.0 + rng.normal(0, 0.004, z_m.shape) * z_m)
+            z_m[rng.random(z_m.shape) < 0.05] = 0.0
+            dep_mm = z_m * 1000.0
         # TUM depth png: meters * 5000
         dep16 = (dep_mm.astype(np.float64) * (tum.DEPTH_SCALE / 1000.0))
         dep16 = np.clip(dep16, 0, 65535).astype(np.uint16)

@@ -105,3 +105,88 @@ def test_chunk_auto_grows(frames):
     s.add_frames(imgs, deps, odos, stamps)
     assert s.config.node_capacity >= 16
     assert int(s.state.graph.num_nodes) == len(frs)
+
+
+class TestEnqueueFrame:
+    """Gate-before-transfer streaming (Slam.enqueue_frame) must insert
+    exactly the keyframes the per-frame path inserts."""
+
+    def test_matches_add_frame_path(self):
+        from uzliti_slam_tpu import pipeline
+        from uzliti_slam_tpu.config import (
+            EdgeEstimationConfig, KeyframeConfig, SlamConfig,
+        )
+        from uzliti_slam_tpu.io import simulator
+
+        cfg = SlamConfig(
+            node_capacity=32, edge_capacity=128, feats_per_node=32,
+            scan_bins=45,
+            keyframe=KeyframeConfig(new_node_distance=0.3),
+            estimation=EdgeEstimationConfig(min_consensus=8,
+                                            min_matching_score=6.0),
+        )
+        world = simulator.WallWorld(img_h=64, img_w=96)
+        frames = simulator.simulate_sequence(
+            world, n_frames=14, odom_drift=0.05, length=4.0,
+        )
+
+        ref = pipeline.Slam(cfg, cam=world.cam,
+                            cam_pose=simulator.cam_extrinsic())
+        ref.optimize_every = 10 ** 9
+        for fr in frames:
+            ref.add_frame(np.asarray(fr["image"]), np.asarray(fr["depth"]),
+                          np.asarray(fr["odom_pose"]), float(fr["stamp"]))
+
+        stream = pipeline.Slam(cfg, cam=world.cam,
+                               cam_pose=simulator.cam_extrinsic())
+        stream.optimize_every = 10 ** 9
+        n_due = 0
+        for fr in frames:
+            n_due += bool(stream.enqueue_frame(
+                np.asarray(fr["image"]), np.asarray(fr["depth"]),
+                np.asarray(fr["odom_pose"]), float(fr["stamp"]), chunk=4,
+            ))
+        stream.flush_frames(4)
+
+        assert n_due == ref._n_kf_host == stream._n_kf_host
+        g_r, g_s = ref.state.graph, stream.state.graph
+        assert int(g_r.num_nodes) == int(g_s.num_nodes)
+        # identical keyframe stamps -> identical graphs up to float noise
+        np.testing.assert_allclose(
+            np.asarray(g_s.stamp), np.asarray(g_r.stamp), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_s.pose), np.asarray(g_r.pose), atol=1e-4
+        )
+
+    def test_partial_flush_pads_single_shape(self):
+        from uzliti_slam_tpu import pipeline
+        from uzliti_slam_tpu.config import KeyframeConfig, SlamConfig
+        from uzliti_slam_tpu.io import simulator
+
+        cfg = SlamConfig(
+            node_capacity=32, edge_capacity=128, feats_per_node=32,
+            scan_bins=45,
+            keyframe=KeyframeConfig(new_node_distance=0.0,
+                                    new_node_angle_deg=0.0),
+        )
+        world = simulator.WallWorld(img_h=64, img_w=96)
+        frames = simulator.simulate_sequence(
+            world, n_frames=6, odom_drift=0.05, length=3.0,
+        )
+        slam = pipeline.Slam(cfg, cam=world.cam,
+                             cam_pose=simulator.cam_extrinsic())
+        slam.optimize_every = 10 ** 9
+        for fr in frames[:4]:
+            slam.enqueue_frame(np.asarray(fr["image"]), np.asarray(fr["depth"]),
+                               np.asarray(fr["odom_pose"]), float(fr["stamp"]),
+                               chunk=4)
+        compiles = pipeline.process_frame_chunk._cache_size()
+        # 2 more frames -> partial buffer, padded flush reuses the shape
+        for fr in frames[4:]:
+            slam.enqueue_frame(np.asarray(fr["image"]), np.asarray(fr["depth"]),
+                               np.asarray(fr["odom_pose"]), float(fr["stamp"]),
+                               chunk=4)
+        slam.flush_frames(4)
+        assert pipeline.process_frame_chunk._cache_size() == compiles
+        assert slam._n_kf_host == 6

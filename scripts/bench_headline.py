@@ -18,7 +18,11 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "headline"
     out = {}
     if which in ("headline", "all"):
-        FAST = dict(preconditioner="chain", precond_refresh=5)
+        FAST = dict(preconditioner="chain", precond_refresh=5,
+                    early_exit=False)
+        # burn: first rung in a process measures 2-4x slow on this tunnel
+        bench.bench_solver(100, 20, 12, reps=20, preconditioner="chain",
+                           precond_refresh=5)
         t, chi2 = bench.bench_solver(1000, 20, 12, reps=30, **FAST)
         out["solve_1k_ms"] = round(1e3 * t, 2)
         out["solve_1k_per_sec"] = round(1.0 / t, 2)
